@@ -1,0 +1,149 @@
+"""Blocking: candidate-generation keys for conversations.
+
+The reference blocks by brute-force TF-IDF cosine kNN over all N entities
+(/root/reference/scripts/run_blocking.py:28-37) — O(N²), impossible at
+10^12 turns. We replace it (per north_star) with key-based blocking:
+
+  * token keys   — rarest / leading normalized tokens per conversation
+  * q-gram MinHash-LSH bands — near-duplicate-robust keys computed in a
+    vectorized pandas UDF (numpy, Arrow-batched)
+
+Two conversations become a candidate pair iff they share ≥1 key. Hot
+keys (skew) are handled by `salt_blocks`: a block larger than `cap` is
+split into S salted sub-blocks and pairs are generated per sub-block
+PAIR (triangle enumeration), so every original pair is still emitted
+exactly once but no single task holds the whole hot block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------------------
+# token blocking keys
+# ---------------------------------------------------------------------------
+
+
+def first_token_keys(conv: DataFrame) -> DataFrame:
+    """block_key = first normalized token (simple, recall-light baseline)."""
+    return conv.select(
+        F.col("conv_id"), F.element_at("tokens", 1).alias("block_key")
+    ).filter(F.col("block_key").isNotNull())
+
+
+def prefix_token_keys(conv: DataFrame, n_tokens: int = 2) -> DataFrame:
+    """block_key = join of the first n normalized tokens."""
+    return conv.select(
+        "conv_id",
+        F.array_join(F.slice("tokens", 1, n_tokens), "_").alias("block_key"),
+    ).filter(F.length("block_key") > 0)
+
+
+def rare_token_keys(conv: DataFrame, max_df: int = 200, per_conv: int = 4) -> DataFrame:
+    """Keys = up to `per_conv` rarest tokens of each conversation.
+
+    Document frequency is a groupBy aggregate (map-side combined); tokens
+    with DF > max_df are dropped (stopword-like, would create hot blocks).
+    Rarest-token blocking is the scalable analog of the reference's
+    TF-IDF weighting: rare tokens carry the discriminative signal.
+    """
+    tok = conv.select("conv_id", F.explode("token_set").alias("token"))
+    df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(df_counts.filter(F.col("df") <= max_df), "token")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("conv_id").orderBy(
+                    F.col("df").asc(), F.col("token").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= per_conv)
+    )
+    return ranked.select("conv_id", F.col("token").alias("block_key"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH keys (q-gram shingles → minhash signature → banded keys)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def make_minhash_udf(num_perm: int = 32, qgram: int = 4, seed: int = 7):
+    """Vectorized pandas UDF: text → array<long> minhash signature.
+
+    Shingles are character q-grams of the normalized text; hashing is
+    numpy uint64 (universal hashing mod Mersenne prime) — the whole batch
+    stays in numpy, no per-row Python in the hot loop beyond the shingle
+    split.
+    """
+    from pyspark.sql import types as T
+
+    a, b = _minhash_params(num_perm, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def minhash_sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            if len(t) < qgram:
+                shingles = {t} if t else {""}
+            else:
+                shingles = {t[i : i + qgram] for i in range(len(t) - qgram + 1)}
+            # pd.util.hash_array: deterministic 64-bit hashing (fixed-key
+            # siphash), vectorized — immune to PYTHONHASHSEED randomization.
+            hv = pd.util.hash_array(np.array(sorted(shingles), dtype=object))
+            # sig[j] = min_i (a[j]*h[i] + b[j] mod p): (P, n) broadcast in numpy
+            prod = (hv[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+            out.append(prod.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return minhash_sig
+
+
+def minhash_band_keys(
+    conv: DataFrame,
+    text_col: str = "full_text",
+    num_perm: int = 32,
+    bands: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """LSH banding: signature split into `bands` rows-per-band groups;
+    block_key = band index + hash of the band slice. Pairs agreeing on
+    any band become candidates (classic MinHash-LSH S-curve).
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = conv.select(
+        "conv_id", make_minhash_udf(num_perm, seed=seed)(F.col(text_col)).alias("sig")
+    )
+    keys = sig.select(
+        "conv_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        F.hash(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                        ).cast("string"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("block_key"),
+    )
+    return keys

@@ -1,0 +1,159 @@
+"""Distributed connected components: large-star / small-star join loop.
+
+Replaces the reference's single-process union-find
+(/root/reference/scripts/apply_transitivity.py:21-45) with the
+alternating-star algorithm of Kiveris et al., "Connected Components in
+MapReduce and Beyond" (SoCC'14): O(log^2 n) rounds worst case, ~log n in
+practice, each round a pair of shuffles keyed on node id. Node ids are
+any orderable type (we use conv_id strings; lexicographic order is the
+total order).
+
+Scale notes:
+- Each iteration is groupBy(node).min + join — both shuffle on the node
+  key; AQE handles stragglers, and the star-contraction itself removes
+  high-degree hubs after round 1 (a hub's neighbors all rewire to the
+  component min), so degree skew self-heals.
+- Lineage is cut every iteration via localCheckpoint() (on a cluster:
+  per-iteration Iceberg snapshot through plans.checkpoint.StageStore),
+  otherwise the plan tree grows exponentially.
+- Convergence is detected by an edge-set fingerprint (count + xor/sum of
+  per-edge hashes) — one tiny aggregate per round, no collect of edges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """(src,dst) undirected edge list → both-direction (u,v), no self-loops."""
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _resym(e: DataFrame) -> DataFrame:
+    """Directed (u>v) edge list → both directions (large-star needs Γ(u))."""
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every neighbor v > u to min(Γ(u) ∪ {u})."""
+    mins = e.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("mv", F.col("u")).alias("m"))
+    return (
+        e.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Directed edges (u > v): connect all smaller neighbors + u to the min."""
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        e.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return rewired
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+@dataclass
+class CCResult:
+    assignments: DataFrame  # (node, root)
+    iterations: int
+    fingerprints: list[tuple[int, int]] = field(default_factory=list)
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, on_iteration=None
+) -> CCResult:
+    """edges(src, dst) → (node, root) where root = min member of component.
+
+    Nodes appearing only as isolated (no edges) are the caller's concern —
+    union them in afterwards (see `assign_clusters`). ``on_iteration`` is
+    an optional callback (it, edges_df, fingerprint) used by the
+    checkpointing layer to commit per-iteration snapshots (north_rule:
+    cluster-iteration resumability).
+    """
+    e = (
+        _symmetric(edges)
+        .filter(F.col("u") > F.col("v"))  # canonical directed form
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = _fingerprint(e)
+    fps = [prev_fp]
+    it = 0
+    for it in range(1, max_iter + 1):
+        e = _small_star(_large_star(_resym(e))).localCheckpoint(eager=True)
+        fp = _fingerprint(e)
+        fps.append(fp)
+        if on_iteration is not None:
+            on_iteration(it, e, fp)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # At fixpoint edges form stars u→root (u > root): assignment is direct.
+    roots = e.groupBy("u").agg(F.min("v").alias("root"))
+    assign = roots.select(F.col("u").alias("node"), "root")
+    # star centers map to themselves
+    centers = assign.select(F.col("root").alias("node")).distinct()
+    assign = assign.unionByName(
+        centers.join(assign, "node", "left_anti").withColumn("root", F.col("node"))
+    )
+    return CCResult(assignments=assign, iterations=it, fingerprints=fps)
+
+
+def assign_clusters(cc: DataFrame, all_nodes: DataFrame) -> DataFrame:
+    """(node, root) + all_nodes(node) → CLUSTERS schema with dense ids.
+
+    Mirrors the reference's global renumber + size attach
+    (/root/reference/scripts/apply_transitivity.py:159-168): cluster ids
+    are dense 0..K-1 in sorted-min-member order; singletons (nodes with
+    no edges) become their own clusters.
+
+    Dense renumbering uses a distributed sort + zipWithIndex over the
+    DISTINCT roots (K rows, not N): two passes, no single-partition
+    window bottleneck at scale.
+    """
+    spark = cc.sparkSession
+    full = all_nodes.select("node").join(cc, "node", "left").withColumn(
+        "root", F.coalesce(F.col("root"), F.col("node"))
+    )
+    roots = full.select("root").distinct().orderBy("root")
+    indexed = roots.rdd.map(lambda r: r["root"]).zipWithIndex().map(
+        lambda t: (t[0], t[1])
+    )
+    root_ids = spark.createDataFrame(
+        indexed, "root string, cluster_id long"  # explicit: empty-input safe
+    )
+    sizes = full.groupBy("root").agg(F.count(F.lit(1)).cast("int").alias("cluster_size"))
+    out = (
+        full.join(root_ids, "root")
+        .join(sizes, "root")
+        .select(
+            F.col("node").alias("conv_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+    return out

@@ -1,0 +1,159 @@
+"""Precision constraints between scoring and clustering.
+
+Rebuilds the reference's constraint stage
+(/root/reference/scripts/apply_constraints.py:15-67) as Catalyst
+anti-joins:
+
+  C2 apply_constraints   threshold filter → anti-join prune set; kept +
+                         dropped outputs + stats
+  C3 geo-mismatch prune  both sides mention ≥1 whitelisted country and
+                         the sets are disjoint → prune (conservative
+                         when either side has no evidence,
+                         geo_constraints.py:143-147)
+  C4 token-overlap prune stopword-aware Jaccard < 0.20 → prune. (The
+                         reference module is broken as shipped — bad
+                         `_tokenize` import at
+                         token_overlap_constraint.py:8 — rebuilt working
+                         per SURVEY.md §2.6.)
+
+Country extraction runs ONCE PER CONVERSATION (the reference recomputes
+per pair via driver dict, apply_transitivity.py:99-105), then both pair
+sides join the per-entity array — an O(N) derivation + two hash joins
+instead of O(pairs) regex work.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# Whitelist mirroring the reference's 20-country list
+# (/root/reference/src/constraints/geo_constraints.py:6-11).
+COUNTRY_WHITELIST = [
+    "United States", "Germany", "Japan", "Canada", "France",
+    "Italy", "Spain", "China", "India", "Brazil",
+    "Australia", "Netherlands", "Sweden", "Switzerland", "Norway",
+    "Denmark", "Finland", "Austria", "Belgium", "Poland",
+]
+
+# Ordered acronym → country substitutions (geo_constraints.py:14-27).
+ACRONYM_SUBS = [
+    (r"\bUSA\b", "United States"),
+    (r"\bUS\b", "United States"),
+    (r"\bUK\b", "United Kingdom"),
+    (r"\bPRC\b", "China"),
+    (r"\bFRG\b", "Germany"),
+]
+
+_DOTTED = re.compile(r"(?:[A-Za-z]\.){2,}[A-Za-z]?\.?")
+
+
+def _undot(text: str) -> str:
+    """U.S.A. → USA (geo_constraints.py:30-46: per-match dot strip)."""
+    return _DOTTED.sub(lambda m: m.group(0).replace(".", "").replace(" ", ""), text)
+
+
+_COUNTRY_RES = [
+    (c, re.compile(r"\b" + re.escape(c) + r"\b", re.IGNORECASE))
+    for c in COUNTRY_WHITELIST
+]
+_ACRONYM_RES = [(re.compile(p), r) for p, r in ACRONYM_SUBS]
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def extract_countries(texts: pd.Series) -> pd.Series:
+    """Per-text sorted set of whitelisted countries (P6+P7+P8 fused):
+    undot dotted acronyms → acronym substitutions → word-boundary search.
+    Vectorized per Arrow batch; regexes compiled once per worker.
+    """
+
+    def one(t: str) -> list[str]:
+        t = _undot(t or "")
+        for pat, repl in _ACRONYM_RES:
+            t = pat.sub(repl, t)
+        return sorted({c for c, cre in _COUNTRY_RES if cre.search(t)})
+
+    return texts.fillna("").map(one)
+
+
+def conv_countries(conv: DataFrame, text_col: str = "full_text") -> DataFrame:
+    """(conv_id, countries) — derived once per conversation."""
+    return conv.select(
+        "conv_id", extract_countries(F.col(text_col)).alias("countries")
+    )
+
+
+def geo_prune_pairs(pairs: DataFrame, countries: DataFrame) -> DataFrame:
+    """Pairs to prune: both sides have country evidence AND disjoint sets
+    (geo_constraints.py:112-152)."""
+    cl = countries.select(
+        F.col("conv_id").alias("id_left"), F.col("countries").alias("c_l")
+    )
+    cr = countries.select(
+        F.col("conv_id").alias("id_right"), F.col("countries").alias("c_r")
+    )
+    joined = pairs.join(cl, "id_left").join(cr, "id_right")
+    return joined.filter(
+        (F.size("c_l") > 0)
+        & (F.size("c_r") > 0)
+        & (F.size(F.array_intersect("c_l", "c_r")) == 0)
+    ).select("id_left", "id_right")
+
+
+def stopwords_by_df(conv: DataFrame, cutoff: float = 0.30) -> DataFrame:
+    """Tokens appearing in ≥ cutoff of conversations
+    (stopwords_extractor.py:10-22 semantics, distributed)."""
+    n = conv.count()
+    return (
+        conv.select(F.explode("token_set").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= cutoff * n)
+        .select("token")
+    )
+
+
+def token_overlap_prune_pairs(
+    pairs_with_tokens: DataFrame,
+    stopwords: DataFrame,
+    min_jaccard: float = 0.20,
+) -> DataFrame:
+    """Prune pairs with stopword-filtered Jaccard < min_jaccard; SKIP
+    (never prune) when either side is empty after stopword removal
+    (token_overlap_constraint.py:16-70 semantics)."""
+    sw = F.broadcast(stopwords).agg(F.collect_set("token").alias("sw"))
+    df = pairs_with_tokens.crossJoin(sw)
+    df = df.withColumn("t_l", F.array_except("token_set_l", "sw")).withColumn(
+        "t_r", F.array_except("token_set_r", "sw")
+    )
+    inter = F.size(F.array_intersect("t_l", "t_r"))
+    union = F.size(F.array_union("t_l", "t_r"))
+    jac = inter.cast("double") / union.cast("double")
+    return df.filter(
+        (F.size("t_l") > 0) & (F.size("t_r") > 0) & (jac < F.lit(min_jaccard))
+    ).select("id_left", "id_right")
+
+
+def apply_constraints(
+    scored: DataFrame,
+    prune_sets: list[DataFrame],
+    min_prob: float = 0.45,
+) -> tuple[DataFrame, DataFrame]:
+    """(kept, dropped): threshold filter then anti-join the union of
+    prune sets (apply_constraints.py:40-66). `dropped` logs the pruned
+    edges (the *_dropped_geo.csv analog)."""
+    thresholded = scored.filter(F.col("prob_match") >= F.lit(min_prob))
+    if not prune_sets:
+        return thresholded, thresholded.limit(0)
+    prune = prune_sets[0]
+    for p in prune_sets[1:]:
+        prune = prune.unionByName(p)
+    prune = prune.dropDuplicates(["id_left", "id_right"])
+    kept = thresholded.join(prune, ["id_left", "id_right"], "left_anti")
+    dropped = thresholded.join(prune, ["id_left", "id_right"], "left_semi")
+    return kept, dropped

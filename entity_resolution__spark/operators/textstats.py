@@ -1,0 +1,92 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+All pure Catalyst expressions (whole-stage codegen, DuckDB-oracle
+expressible): language ID (stopword-hit heuristic), quality scoring,
+token counting, and document fingerprinting over a (doc_id, text) table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists (public common-word lists) for the
+# n-gram/stopword-hit language heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con", "para", "las"],
+}
+
+TOKEN_PATTERN = r"[a-z0-9]+"
+# BPE-ish word/number/punct splitter for token counting
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens_col(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs + digit runs + single punct."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    toks = tokens_col(text)
+    out = []
+    for lang, words in LANG_MARKERS.items():
+        hits = F.size(
+            F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words]))
+        )
+        out.append((lang, hits))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over marker-hit counts; ties broken by declaration order
+    (en, de, fr, es); 'und' when no marker hits. Chained CASE — exactly
+    reproducible in the DuckDB oracle SQL."""
+    scores = lang_scores(text)
+    best = F.greatest(*[h for _, h in scores])
+    expr = F.when(best == 0, F.lit("und"))
+    for lang, hits in scores:
+        expr = expr.when(hits == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals per doc."""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    stop_en = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_en, t)))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    chars = F.length(text)
+    return df.select(
+        "*",
+        chars.alias("q_chars"),
+        n_tok.alias("q_tokens"),
+        F.round(chars.cast("double") / F.greatest(n_tok, F.lit(1)), 6).alias(
+            "q_chars_per_token"
+        ),
+        F.round(n_stop.cast("double") / F.greatest(n_tok, F.lit(1)), 6).alias(
+            "q_stopword_ratio"
+        ),
+        F.round(n_punct.cast("double") / F.greatest(chars, F.lit(1)), 6).alias(
+            "q_punct_ratio"
+        ),
+    )
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized token
+    join (rolling-hash analog, portable to the DuckDB oracle)."""
+    return F.md5(F.array_join(tokens_col(text), " "))

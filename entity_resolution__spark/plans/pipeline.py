@@ -1,0 +1,191 @@
+"""End-to-end ER pipeline: transcripts → clusters.
+
+Stage DAG (each optionally checkpointed via StageStore, north_rule):
+
+  transcripts ─ canonicalize ─ conversations
+  conversations ─ blocking keys (tokens ∪ MinHash-LSH bands) ─ blocks
+  blocks ─ candidate_pairs (salted within-block join) ─ pairs
+  pairs + conversations ─ featurize ─ score ─ scored
+  scored ─ threshold + geo/token constraints ─ edges
+  edges ─ large-star/small-star CC ─ clusters (dense ids + sizes)
+
+Mirrors the reference entry points E1–E3 (SURVEY.md §3) as one lazy
+Spark DAG with explicit stage boundaries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entity_resolution__spark.functions.features import global_idf
+from entity_resolution__spark.functions.normalize import normalize_text
+from entity_resolution__spark.operators.blocking import (
+    minhash_band_keys,
+    rare_token_keys,
+)
+from entity_resolution__spark.operators.canonicalize import canonicalize
+from entity_resolution__spark.operators.cluster import (
+    assign_clusters,
+    connected_components,
+)
+from entity_resolution__spark.operators.constraints import (
+    apply_constraints,
+    conv_countries,
+    geo_prune_pairs,
+)
+from entity_resolution__spark.operators.pairs import attach_pair_payload, candidate_pairs
+from entity_resolution__spark.operators.score import featurize_pairs, score_pairs
+from entity_resolution__spark.plans.checkpoint import StageStore
+
+
+@dataclass
+class ERConfig:
+    # blocking
+    use_minhash: bool = True
+    minhash_perm: int = 32
+    minhash_bands: int = 8
+    rare_token_max_df: int = 200
+    rare_tokens_per_conv: int = 4
+    max_block: int = 2000
+    salt_threshold: int = 200
+    n_salts: int = 8
+    # scoring / constraints (reference thresholds: 0.45 keep, 0.60 seed)
+    keep_threshold: float = 0.45
+    cluster_threshold: float = 0.60
+    use_geo_constraint: bool = True
+    use_global_idf: bool = False  # costs one extra pass; off for bench
+    # clustering
+    cc_max_iter: int = 50
+
+    def params(self) -> dict:
+        return dict(self.__dict__)
+
+
+@dataclass
+class ERResult:
+    conversations: DataFrame
+    blocks: DataFrame
+    pairs: DataFrame
+    scored: DataFrame
+    edges: DataFrame
+    dropped: DataFrame
+    clusters: DataFrame
+    cc_iterations: int = 0
+    stage_rows: dict = field(default_factory=dict)
+
+
+def build_blocks(conv: DataFrame, cfg: ERConfig) -> DataFrame:
+    keys = rare_token_keys(
+        conv, max_df=cfg.rare_token_max_df, per_conv=cfg.rare_tokens_per_conv
+    )
+    if cfg.use_minhash:
+        keys = keys.unionByName(
+            minhash_band_keys(
+                conv, num_perm=cfg.minhash_perm, bands=cfg.minhash_bands
+            )
+        )
+    return keys
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: ERConfig | None = None,
+    store: StageStore | None = None,
+) -> ERResult:
+    cfg = cfg or ERConfig()
+    p = cfg.params()
+
+    def staged(name: str, compute, lineage: list[str] | None = None) -> DataFrame:
+        if store is None:
+            return compute()
+        return store.stage(spark, name, {**p, "stage": name}, compute, lineage)
+
+    conv = staged(
+        "conversations",
+        lambda: canonicalize(transcripts).withColumn(
+            "norm_text", normalize_text(F.col("full_text"))
+        ),
+    )
+
+    blocks = staged("blocks", lambda: build_blocks(conv, cfg), ["conversations"])
+
+    pairs = staged(
+        "candidate_pairs",
+        lambda: candidate_pairs(
+            blocks,
+            max_block=cfg.max_block,
+            salt_threshold=cfg.salt_threshold,
+            n_salts=cfg.n_salts,
+        ),
+        ["blocks"],
+    )
+
+    idf_map = global_idf(conv) if cfg.use_global_idf else None
+
+    def compute_scored() -> DataFrame:
+        payload = attach_pair_payload(
+            pairs,
+            conv,
+            ["norm_text", "tokens", "token_set", "roles", "tools"],
+        )
+        feats = featurize_pairs(payload, idf_map)
+        return score_pairs(feats, threshold=cfg.cluster_threshold).select(
+            "id_left",
+            "id_right",
+            "prob_match",
+            "pred_match",
+            "token_jaccard",
+        )
+
+    scored = staged("scores", compute_scored, ["candidate_pairs", "conversations"])
+
+    def compute_edges() -> tuple[DataFrame, DataFrame]:
+        prune_sets = []
+        if cfg.use_geo_constraint:
+            countries = conv_countries(conv)
+            prune_sets.append(geo_prune_pairs(scored, countries))
+        return apply_constraints(scored, prune_sets, min_prob=cfg.keep_threshold)
+
+    if store is None:
+        kept, dropped = compute_edges()
+    else:
+        kept = staged("edges", lambda: compute_edges()[0], ["scores"])
+        dropped = staged("edges_dropped", lambda: compute_edges()[1], ["scores"])
+
+    cluster_edges = kept.filter(
+        F.col("prob_match") >= F.lit(cfg.cluster_threshold)
+    ).select(F.col("id_left").alias("src"), F.col("id_right").alias("dst"))
+
+    cc_iter_store = {}
+
+    def compute_clusters() -> DataFrame:
+        on_iter = None
+        if store is not None:
+            def on_iter(it, e, fp):  # per-iteration snapshot (north_rule)
+                store.commit(
+                    e, f"cluster_iter_{it:03d}", f"{fp[0]}:{fp[1]}", ["edges"]
+                )
+
+        cc = connected_components(
+            cluster_edges, max_iter=cfg.cc_max_iter, on_iteration=on_iter
+        )
+        cc_iter_store["iterations"] = cc.iterations
+        all_nodes = conv.select(F.col("conv_id").alias("node"))
+        return assign_clusters(cc.assignments, all_nodes)
+
+    clusters = staged("clusters", compute_clusters, ["edges", "conversations"])
+
+    return ERResult(
+        conversations=conv,
+        blocks=blocks,
+        pairs=pairs,
+        scored=scored,
+        edges=kept,
+        dropped=dropped,
+        clusters=clusters,
+        cc_iterations=cc_iter_store.get("iterations", 0),
+    )

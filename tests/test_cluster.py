@@ -1,0 +1,85 @@
+"""Connected components: large-star/small-star loop vs DSU on hand and
+random graphs; O(log n)-ish round bound on a long path (FIXTURES.md §4
+cc_graphs)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from entity_resolution__spark.operators.cluster import (
+    assign_clusters,
+    connected_components,
+)
+from tests.oracle import DSU
+
+
+def _cc_spark(spark, edges, nodes=None):
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    cc = connected_components(e)
+    if nodes is None:
+        nodes = sorted({x for p in edges for x in p})
+    n = spark.createDataFrame([(x,) for x in nodes], ["node"])
+    out = assign_clusters(cc.assignments, n)
+    rows = out.collect()
+    comp: dict = {}
+    for r in rows:
+        comp.setdefault(r["cluster_id"], set()).add(r["conv_id"])
+    return {frozenset(v) for v in comp.values()}, cc.iterations, rows
+
+
+def _cc_dsu(edges, nodes):
+    dsu = DSU()
+    for x in nodes:
+        dsu.find(x)
+    for a, b in edges:
+        dsu.union(a, b)
+    comp: dict = {}
+    for x in nodes:
+        comp.setdefault(dsu.find(x), set()).add(x)
+    return {frozenset(v) for v in comp.values()}
+
+
+def test_chain_clique_bridge_singleton(spark):
+    edges = (
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(5)]  # chain n000..n005
+        + [(f"k{i}", f"k{j}") for i in range(4) for j in range(i + 1, 4)]  # clique
+        + [("n005", "k0")]  # bridge chain↔clique
+        + [("x1", "x2")]
+    )
+    nodes = sorted({x for p in edges for x in p} | {"lonely"})
+    got, _, rows = _cc_spark(spark, edges, nodes)
+    assert got == _cc_dsu(edges, nodes)
+    # sizes + dense ids
+    by_node = {r["conv_id"]: r for r in rows}
+    assert by_node["lonely"]["cluster_size"] == 1
+    ids = sorted({r["cluster_id"] for r in rows})
+    assert ids == list(range(len(ids)))  # dense 0..K-1
+    # dense ids follow sorted min-member order (reference renumber)
+    mins = sorted(min(c) for c in got)
+    want_id = {m: i for i, m in enumerate(mins)}
+    for c in got:
+        m = min(c)
+        for node in c:
+            assert by_node[node]["cluster_id"] == want_id[m]
+
+
+def test_random_graphs_match_dsu(spark):
+    rnd = random.Random(7)
+    nodes = [f"v{i:04d}" for i in range(200)]
+    edges = [
+        (rnd.choice(nodes), rnd.choice(nodes))
+        for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    got, _, _ = _cc_spark(spark, edges, nodes)
+    assert got == _cc_dsu(edges, nodes)
+
+
+def test_long_path_converges_fast(spark):
+    n = 2048
+    edges = [(f"p{i:05d}", f"p{i+1:05d}") for i in range(n - 1)]
+    got, iters, _ = _cc_spark(spark, edges)
+    assert len(got) == 1 and len(next(iter(got))) == n
+    # alternating star: ~log2(n) rounds, assert generous 3*log2+5 bound
+    assert iters <= 3 * int(math.log2(n)) + 5, iters
