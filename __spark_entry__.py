@@ -1,38 +1,498 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship: full ER pipeline (synthetic transcripts →
+                    clusters) at tiny scale.
+queries()         — one entry per implemented operator family
+                    (SURVEY.md §2 + training-data ops), each over the
+                    /root/testdata parquet tables.
+oracle_sql()      — DuckDB-equivalent SQL per query (column names/
+                    aliases match exactly; floats rounded to 6 on both
+                    sides). Queries without an entry get the driver's
+                    rows-only check (noted inline).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _toks(col):
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full ER pipeline on deterministic synthetic
+    transcripts (BASELINE.json input_hint shape) → cluster table."""
+    from entity_resolution__spark.data.synth import make_transcripts
+    from entity_resolution__spark.plans.pipeline import ERConfig, run_pipeline
+    from entity_resolution__spark.schema import TRANSCRIPTS
+
+    pdf = make_transcripts(seed=42, n_entities=30)
+    sdf = spark.createDataFrame(pdf, schema=TRANSCRIPTS)
+    res = run_pipeline(spark, sdf, ERConfig(use_minhash=True))
+    return res.clusters
+
+
+# ---------------------------------------------------------------------------
+# queries over /root/testdata tables
+# ---------------------------------------------------------------------------
+
+
+def q_tokenize_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = _toks(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def q_block_keys(spark, sf):
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.try_element_at(_toks(F.col("text")), F.lit(1)).alias("block_key"))
+        .filter(F.col("block_key").isNotNull())
+        .groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_candidate_pairs(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.try_element_at(_toks(F.col("text")), F.lit(1)).alias("bk")
+    )
+    l, r = d.alias("l"), d.alias("r")
+    return (
+        l.join(r, "bk")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_left"),
+            F.col("r.doc_id").alias("id_right"),
+        )
+        .dropDuplicates(["id_left", "id_right"])
+    )
+
+
+def q_pair_token_jaccard(spark, sf):
+    from entity_resolution__spark.functions.normalize import jaccard
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.try_element_at(_toks(F.col("text")), F.lit(1)).alias("bk"),
+        F.array_sort(F.array_distinct(_toks(F.col("text")))).alias("ts"),
+    )
+    l = d.select(F.col("doc_id").alias("id_left"), "bk", F.col("ts").alias("ts_l"))
+    r = d.select(F.col("doc_id").alias("id_right"), F.col("bk").alias("bk_r"), F.col("ts").alias("ts_r"))
+    return (
+        l.join(r, (F.col("bk") == F.col("bk_r")) & (F.col("id_left") < F.col("id_right")))
+        .select(
+            "id_left",
+            "id_right",
+            F.round(jaccard(F.col("ts_l"), F.col("ts_r")), 6).alias("token_jaccard"),
+        )
+        .dropDuplicates(["id_left", "id_right"])
+    )
+
+
+def q_exact_dedup(spark, sf):
+    from entity_resolution__spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_minhash_signature(spark, sf):
+    from entity_resolution__spark.operators.dedup import minhash_md5
+
+    d = _t(spark, sf, "documents")
+    toks = _toks(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[minhash_md5(toks, s).alias(f"mh_{s}") for s in range(4)],
+    )
+
+
+def q_ngram_neardup_pairs(spark, sf):
+    from entity_resolution__spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), n=3, threshold=0.2
+    )
+
+
+def q_lang_quality(spark, sf):
+    from entity_resolution__spark.operators.textstats import lang_id, quality_features
+
+    d = quality_features(_t(spark, sf, "documents").select("doc_id", "text"))
+    return d.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_pred"),
+        F.col("q_tokens").cast("long").alias("q_tokens"),
+        "q_chars_per_token",
+        "q_stopword_ratio",
+        "q_punct_ratio",
+    )
+
+
+def q_doc_fingerprint(spark, sf):
+    from entity_resolution__spark.operators.textstats import fingerprint_col
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fp")
+    )
+
+
+def q_simhash(spark, sf):
+    # rows-only check: xxhash64 has no DuckDB equivalent
+    from entity_resolution__spark.operators.dedup import simhash64
+    from entity_resolution__spark.operators.textstats import tokens_col
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", simhash64(tokens_col(F.col("text"))).alias("simhash")
+    )
+
+
+def q_embedding_topk(spark, sf):
+    """Brute-force cosine top-20 vs the vec_id=0 probe; ordered by the
+    ROUNDED similarity so Spark/DuckDB float ulps can't flip ranks."""
+    from entity_resolution__spark.operators.similarity import cosine
+
+    e = _t(spark, sf, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probe))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("probe")), 6).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(20)
+
+
+def q_knn_join(spark, sf):
+    from entity_resolution__spark.operators.similarity import knn_join_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = knn_join_topk(e.filter(F.col("vec_id") >= 3), q, k=5)
+    return out.select("qid", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+def q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_window_order_rank(spark, sf):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            4,
+        ).alias("running_spend"),
+    )
+
+
+def q_events_hourly(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_cc_clusters(spark, sf):
+    """Connected components over the doc near-dup graph (jaccard ≥ 0.2
+    pairs as edges) — non-SQL-expressible iterative op, rows-only check;
+    correctness is covered by tests/test_cluster.py vs a DSU oracle."""
+    from entity_resolution__spark.operators.cluster import (
+        assign_clusters,
+        connected_components,
+    )
+    from entity_resolution__spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    edges = ngram_jaccard_pairs(d, n=3, threshold=0.2).select(
+        F.col("id_left").cast("string").alias("src"),
+        F.col("id_right").cast("string").alias("dst"),
+    )
+    cc = connected_components(edges)
+    nodes = d.select(F.col("doc_id").cast("string").alias("node"))
+    return assign_clusters(cc.assignments, nodes).select(
+        F.col("conv_id").alias("doc_id"),
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tokenize_stats": q_tokenize_stats,
+        "block_keys": q_block_keys,
+        "candidate_pairs": q_candidate_pairs,
+        "pair_token_jaccard": q_pair_token_jaccard,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signature": q_minhash_signature,
+        "ngram_neardup_pairs": q_ngram_neardup_pairs,
+        "lang_quality": q_lang_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "simhash": q_simhash,
+        "embedding_topk": q_embedding_topk,
+        "knn_join": q_knn_join,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue": q_top_revenue,
+        "window_order_rank": q_window_order_rank,
+        "events_hourly": q_events_hourly,
+        "cc_clusters": q_cc_clusters,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles (same column names; floats rounded identically)
+# ---------------------------------------------------------------------------
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tokenize_stats": f"""
+            SELECT doc_id,
+                   len({_TOKS}) AS n_tokens,
+                   len(list_distinct({_TOKS})) AS n_distinct_tokens
+            FROM documents
+        """,
+        "block_keys": f"""
+            SELECT {_TOKS}[1] AS block_key, count(*) AS n_docs
+            FROM documents
+            WHERE len({_TOKS}) > 0
+            GROUP BY 1
+        """,
+        "candidate_pairs": f"""
+            WITH d AS (SELECT doc_id, {_TOKS}[1] AS bk FROM documents
+                       WHERE len({_TOKS}) > 0)
+            SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right
+            FROM d l JOIN d r ON l.bk = r.bk AND l.doc_id < r.doc_id
+        """,
+        "pair_token_jaccard": f"""
+            WITH d AS (SELECT doc_id, {_TOKS}[1] AS bk,
+                              list_sort(list_distinct({_TOKS})) AS ts
+                       FROM documents WHERE len({_TOKS}) > 0)
+            SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right,
+                   round(CASE
+                     WHEN len(l.ts)=0 AND len(r.ts)=0 THEN 1.0
+                     WHEN len(l.ts)=0 OR len(r.ts)=0 THEN 0.0
+                     ELSE len(list_intersect(l.ts, r.ts))::DOUBLE
+                          / len(list_distinct(list_concat(l.ts, r.ts)))::DOUBLE
+                   END, 6) AS token_jaccard
+            FROM d l JOIN d r ON l.bk = r.bk AND l.doc_id < r.doc_id
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "minhash_signature": f"""
+            SELECT doc_id,
+                   list_min(list_transform(list_distinct({_TOKS}), t -> md5('0:' || t))) AS mh_0,
+                   list_min(list_transform(list_distinct({_TOKS}), t -> md5('1:' || t))) AS mh_1,
+                   list_min(list_transform(list_distinct({_TOKS}), t -> md5('2:' || t))) AS mh_2,
+                   list_min(list_transform(list_distinct({_TOKS}), t -> md5('3:' || t))) AS mh_3
+            FROM documents
+        """,
+        "ngram_neardup_pairs": f"""
+            WITH d AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id, toks[1] AS bk,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 0) + 1),
+                       i -> array_to_string(toks[i:i+2], ' ')
+                     )) AS sh
+              FROM d WHERE len(toks) > 0
+            )
+            SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right,
+                   round(CASE WHEN len(list_distinct(list_concat(l.sh, r.sh))) = 0
+                         THEN 0.0
+                         ELSE len(list_intersect(l.sh, r.sh))::DOUBLE
+                              / len(list_distinct(list_concat(l.sh, r.sh)))::DOUBLE
+                         END, 6) AS jaccard
+            FROM sh l JOIN sh r ON l.bk = r.bk AND l.doc_id < r.doc_id
+            WHERE CASE WHEN len(list_distinct(list_concat(l.sh, r.sh))) = 0
+                  THEN 0.0
+                  ELSE len(list_intersect(l.sh, r.sh))::DOUBLE
+                       / len(list_distinct(list_concat(l.sh, r.sh)))::DOUBLE
+                  END >= 0.2
+        """,
+        "lang_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKS} AS toks,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     length(text) AS chars
+              FROM documents
+            ), hits AS (
+              SELECT *,
+                len(list_intersect(list_distinct(toks),
+                  ['the','and','of','to','in','is','that','it','for','was'])) AS h_en,
+                len(list_intersect(list_distinct(toks),
+                  ['der','die','und','das','ist','nicht','ein','mit','auf','den'])) AS h_de,
+                len(list_intersect(list_distinct(toks),
+                  ['le','la','et','les','des','est','une','dans','que','pour'])) AS h_fr,
+                len(list_intersect(list_distinct(toks),
+                  ['el','la','de','que','los','una','por','con','para','las'])) AS h_es,
+                len(list_filter(toks, x -> list_contains(
+                  ['the','and','of','to','in','is','that','it','for','was'], x))) AS n_stop
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en,h_de,h_fr,h_es) = 0 THEN 'und'
+                        WHEN h_en = greatest(h_en,h_de,h_fr,h_es) THEN 'en'
+                        WHEN h_de = greatest(h_en,h_de,h_fr,h_es) THEN 'de'
+                        WHEN h_fr = greatest(h_en,h_de,h_fr,h_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred,
+                   len(toks) AS q_tokens,
+                   round(chars::DOUBLE / greatest(len(toks), 1), 6) AS q_chars_per_token,
+                   round(n_stop::DOUBLE / greatest(len(toks), 1), 6) AS q_stopword_ratio,
+                   round(n_punct::DOUBLE / greatest(chars, 1), 6) AS q_punct_ratio
+            FROM hits
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp
+            FROM documents
+        """,
+        # cosines computed in DOUBLE on both sides (Spark casts float32
+        # elements to double before multiplying) so rounding to 6 matches
+        "embedding_topk": """
+            WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(embedding::DOUBLE[], p)
+                         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(p, p))), 6) AS cos_sim
+            FROM embeddings, probe
+            WHERE vec_id <> 0
+            ORDER BY cos_sim DESC, vec_id ASC
+            LIMIT 20
+        """,
+        "knn_join": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qvec
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.qid, e.vec_id,
+                     round(list_dot_product(e.embedding::DOUBLE[], q.qvec)
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(q.qvec, q.qvec))), 6) AS cos_sim
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id >= 3
+            ), ranked AS (
+              SELECT *, row_number() OVER
+                (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue": """
+            SELECT c_mktsegment,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   count(DISTINCT o_orderkey) AS n_orders
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "window_order_rank": """
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER w AS order_seq,
+                   round(sum(o_totalprice) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING), 4) AS running_spend
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        # simhash, cc_clusters: intentionally no oracle (xxhash64 /
+        # iterative fixpoint not expressible in DuckDB) → rows-only check.
+    }

@@ -1,0 +1,142 @@
+"""Benchmark harness.
+
+Per-round driver contract: run headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], print ONE
+JSON line {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
+
+Also measures the ER pipeline itself on deterministic synthetic
+transcripts (turns/sec — BASELINE.json.metric) and, with
+SPARK_GRAFT_SCALING=1, runs the same ER job at local[8] and local[32]
+on the SAME input to evidence the N→4N scaling-efficiency rule
+(BASELINE.md): efficiency = (throughput_32 / throughput_8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from entity_resolution__spark.session import get_spark, stop_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue",
+    "window_order_rank",
+    "events_hourly",
+    "tokenize_stats",
+    "exact_dedup",
+    "minhash_signature",
+    "ngram_neardup_pairs",
+    "lang_quality",
+    "embedding_topk",
+    "knn_join",
+    "simhash",
+    "cc_clusters",
+]
+
+BENCH_ENTITIES = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "1500"))
+
+
+def _bench_transcripts_path() -> str:
+    """Materialize the deterministic bench transcripts once as parquet
+    (FIXTURES.md determinism rule: same (seed,size) → same content)."""
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".data",
+        f"bench_transcripts_e{BENCH_ENTITIES}",
+    )
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        import pandas as pd  # noqa: F401
+
+        from entity_resolution__spark.data.synth import make_transcripts
+
+        pdf = make_transcripts(seed=42, n_entities=BENCH_ENTITIES)
+        # Spark can't read TIMESTAMP(NANOS) parquet — write micros
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        os.makedirs(out, exist_ok=True)
+        pdf.to_parquet(os.path.join(out, "part-0.parquet"), index=False)
+        open(marker, "w").close()
+    return out
+
+
+def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
+    """One full ER run (no checkpoint store): returns wall + turns/sec."""
+    from entity_resolution__spark.plans.pipeline import ERConfig, run_pipeline
+
+    spark = get_spark("bench-er", master=master, shuffle_partitions=shuffle)
+    sdf = spark.read.parquet(path)
+    n_turns = sdf.count()
+    t0 = time.monotonic()
+    res = run_pipeline(spark, sdf, ERConfig())
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    wall = time.monotonic() - t0
+    out = {
+        "wall_sec": round(wall, 3),
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / wall, 1),
+        "clusters": n_clusters,
+        "master": master,
+    }
+    stop_spark()
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    scaling = os.environ.get("SPARK_GRAFT_SCALING") == "1"
+    er_path = _bench_transcripts_path()
+
+    results: dict[str, float] = {}
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    queries = entrymod.queries()
+    # warm the JVM/Arrow path once with the cheapest query
+    queries["tokenize_stats"](spark, sf_dir).count()
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        results[name] = round(time.monotonic() - t0, 3)
+    stop_spark()
+
+    # ER pipeline throughput at the round's CPU budget
+    er = run_er_pipeline(f"local[{cpus}]", cpus, er_path)
+    results["er_pipeline"] = er["wall_sec"]
+
+    extras: dict = {"er": er}
+    if scaling:
+        er8 = run_er_pipeline("local[8]", 8, er_path)
+        er32 = run_er_pipeline("local[32]", 32, er_path)
+        eff = (er32["turns_per_sec"] / er8["turns_per_sec"]) / 4.0
+        extras["scaling"] = {
+            "local8": er8,
+            "local32": er32,
+            "efficiency_n_to_4n": round(eff, 3),
+        }
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

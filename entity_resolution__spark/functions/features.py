@@ -90,6 +90,15 @@ def _char_ngrams(s: str, lo: int = 3, hi: int = 5) -> Counter:
     return c
 
 
+# Character-level kernels (LCS/edit/JW) are O(n·m) per pair: cap input
+# length so per-pair cost is bounded at any scale. Shared constant with
+# the pandas oracle (same truncation both sides → parity holds). The
+# reference computes over full strings, but its entities are ~60-char
+# affiliation strings; conversations are unbounded, so a cap is the
+# scale-correct semantics here.
+MAX_KERNEL_CHARS = 512
+
+
 def compute_feature_struct(
     norm_l: pd.Series,
     norm_r: pd.Series,
@@ -103,6 +112,8 @@ def compute_feature_struct(
 ) -> pd.DataFrame:
     """Batch kernel shared by the Spark UDF and the test oracle."""
     idf = idf or {}
+    norm_l = norm_l.fillna("").str.slice(0, MAX_KERNEL_CHARS)
+    norm_r = norm_r.fillna("").str.slice(0, MAX_KERNEL_CHARS)
     n = len(norm_l)
     out = {c: np.empty(n, dtype=np.float64) for c in _STRUCT_FIELDS}
     out["edit_ratio"] = K.edit_ratio_series(norm_l, norm_r).to_numpy()

@@ -31,7 +31,7 @@ from pyspark.sql.functions import pandas_udf
 def first_token_keys(conv: DataFrame) -> DataFrame:
     """block_key = first normalized token (simple, recall-light baseline)."""
     return conv.select(
-        F.col("conv_id"), F.element_at("tokens", 1).alias("block_key")
+        F.col("conv_id"), F.try_element_at("tokens", F.lit(1)).alias("block_key")
     ).filter(F.col("block_key").isNotNull())
 
 
@@ -66,6 +66,51 @@ def rare_token_keys(conv: DataFrame, max_df: int = 200, per_conv: int = 4) -> Da
         .filter(F.col("rn") <= per_conv)
     )
     return ranked.select("conv_id", F.col("token").alias("block_key"))
+
+
+def stopwords_by_idf(conv: DataFrame, idf_pct: float = 0.20, df_cut: float = 0.20) -> DataFrame:
+    """TF-IDF-based auto-stopwords (reference B8,
+    visualize_k_value_for_blocking.py:61-75): tokens whose idf is in the
+    lowest `idf_pct` quantile OR whose document frequency exceeds
+    `df_cut` of docs. Distributed: one DF aggregate + approxQuantile."""
+    n_docs = conv.count()
+    dfreq = (
+        conv.select(F.explode("token_set").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "idf", F.log((F.lit(1.0 + n_docs)) / (F.col("df") + 1.0)) + 1.0
+        )
+    )
+    cut = dfreq.approxQuantile("idf", [idf_pct], 0.001)[0]
+    return dfreq.filter(
+        (F.col("idf") <= cut) | (F.col("df") >= df_cut * n_docs)
+    ).select("token")
+
+
+def blocking_quality(
+    blocks: DataFrame, labeled_pairs: DataFrame, n_entities: int
+) -> dict:
+    """Blocking diagnostics (reference B7 k-sweep analog,
+    visualize_k_value_for_blocking.py:109-173): pair completeness
+    (recall of true pairs through the blocks) and reduction ratio
+    1 - |candidate pairs| / C(N,2). All aggregates, collected as scalars.
+    """
+    from entity_resolution__spark.operators.pairs import candidate_pairs
+
+    pairs = candidate_pairs(blocks)
+    n_pairs = pairs.count()
+    pos = labeled_pairs.filter(F.col("label") == 1).select(
+        F.col("conv_id_a").alias("id_left"), F.col("conv_id_b").alias("id_right")
+    )
+    n_pos = pos.count()
+    hit = pos.join(pairs, ["id_left", "id_right"], "left_semi").count()
+    total_possible = n_entities * (n_entities - 1) / 2
+    return {
+        "candidate_pairs": n_pairs,
+        "pair_completeness": hit / n_pos if n_pos else 1.0,
+        "reduction_ratio": 1.0 - n_pairs / total_possible if total_possible else 0.0,
+    }
 
 
 # ---------------------------------------------------------------------------

@@ -123,6 +123,32 @@ def connected_components(
     return CCResult(assignments=assign, iterations=it, fingerprints=fps)
 
 
+def cluster_edges(clusters: DataFrame, mode: str = "star") -> DataFrame:
+    """Re-wire each cluster as a chain (sorted members consecutive) or a
+    star (min member = hub), weight 1.0 — reference G5
+    (/root/reference/src/graph/build_graph_after_transitivity.py:5-41).
+    Chain: lag window within cluster. Star: min-over-cluster window.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy("conv_id")
+    if mode == "chain":
+        out = clusters.select(
+            "cluster_id",
+            F.lag("conv_id").over(w).alias("src"),
+            F.col("conv_id").alias("dst"),
+        ).filter(F.col("src").isNotNull())
+    elif mode == "star":
+        out = clusters.select(
+            "cluster_id",
+            F.min("conv_id").over(Window.partitionBy("cluster_id")).alias("src"),
+            F.col("conv_id").alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return out.select("src", "dst", F.lit(1.0).alias("weight"))
+
+
 def assign_clusters(cc: DataFrame, all_nodes: DataFrame) -> DataFrame:
     """(node, root) + all_nodes(node) → CLUSTERS schema with dense ids.
 

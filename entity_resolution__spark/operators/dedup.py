@@ -78,30 +78,31 @@ def simhash64(tokens: Column) -> Column:
     """
     toks = F.array_distinct(tokens)
     n = F.size(toks)
-    # counters: array of 64 ints, counter[i] += bit_i(hash(tok))
+    # counters: array of 64 ints, counter[i] += bit_i(hash(tok)).
+    # shift amounts must be Python ints (the fn signature), so the 64
+    # per-bit expressions are generated in a Python loop, not a lambda.
     counters = F.aggregate(
         toks,
         F.array_repeat(F.lit(0).cast("long"), 64),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)),
+            F.array(
+                *[
+                    F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1).cast("long"))
+                    for i in range(64)
+                ]
             ),
             lambda a, b: a + b,
         ),
     )
-    bits = F.transform(
-        F.zip_with(
-            counters,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda c, i: F.when(c * 2 >= n, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        lambda x: x,
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b))
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(
+            F.element_at(counters, i + 1) * 2 >= n,
+            F.lit(1 << i).cast("long") if i < 63 else F.lit(-(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        sim = sim.bitwiseOR(bit)
+    return sim
 
 
 def ngram_shingles(text: Column, n: int = 3) -> Column:
@@ -124,7 +125,7 @@ def ngram_jaccard_pairs(
     """Near-dup pairs by word-n-gram Jaccard ≥ threshold. Pairs come from
     a blocking column (default: first token) — never the full cross join.
     """
-    b = block if block is not None else F.element_at(tokens_col(F.col(text_col)), 1)
+    b = block if block is not None else F.try_element_at(tokens_col(F.col(text_col)), F.lit(1))
     base = df.select(
         F.col(id_col).alias("id"),
         b.alias("bk"),

@@ -1,0 +1,176 @@
+"""Learned pairwise matcher (reference M1-M4) — numpy logistic regression.
+
+The reference trains StandardScaler + {logreg|rf|xgb} with 5-fold
+stratified OOF and picks the F1-optimal threshold
+(/root/reference/models/pairwise_classifier.py:284-371,239-256). This
+container has no sklearn/xgboost, and SURVEY.md §7 prefers a
+deterministic matcher anyway — so: a from-scratch numpy logistic
+regression (full-batch gradient descent, fixed iterations/seed →
+bit-deterministic), trained driver-side on the (small) labeled sample,
+then broadcast into an Arrow UDF for distributed scoring. Same
+train-small/score-big shape the reference has, minus the randomness.
+
+Labels are always dimension-sized (human/ground-truth pairs), so
+driver-side training is the correct scale split: the expensive part —
+scoring billions of candidate pairs — is the distributed UDF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from entity_resolution__spark.functions.features import FEATURE_COLS
+
+
+@dataclass
+class TrainedMatcher:
+    """Analog of the reference's TrainedMatcher dataclass
+    (models/pairwise_classifier.py:214-234): scaler stats + weights +
+    chosen threshold + CV metrics."""
+
+    mean: np.ndarray
+    std: np.ndarray
+    weights: np.ndarray  # (n_features + 1,) with bias last
+    threshold: float
+    feature_cols: list[str]
+    metrics: dict
+
+    def predict_proba(self, X: pd.DataFrame) -> np.ndarray:
+        Z = (X[self.feature_cols].to_numpy(dtype=np.float64) - self.mean) / self.std
+        z = Z @ self.weights[:-1] + self.weights[-1]
+        return 1.0 / (1.0 + np.exp(-z))
+
+
+def _fit_logreg(
+    X: np.ndarray, y: np.ndarray, lr: float = 0.5, iters: int = 500, l2: float = 1e-3
+) -> np.ndarray:
+    """Full-batch GD with class-balanced weights (reference
+    scale_pos_weight analog, pairwise_classifier.py:301-304)."""
+    n, d = X.shape
+    w = np.zeros(d + 1)
+    pos = max(y.sum(), 1)
+    neg = max(n - y.sum(), 1)
+    sw = np.where(y == 1, n / (2 * pos), n / (2 * neg))
+    Xb = np.hstack([X, np.ones((n, 1))])
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(Xb @ w)))
+        g = Xb.T @ (sw * (p - y)) / n + l2 * np.r_[w[:-1], 0.0]
+        w -= lr * g
+    return w
+
+
+def roc_auc(y: np.ndarray, s: np.ndarray) -> float:
+    """Rank-based AUC (Mann-Whitney), ties averaged — numpy only."""
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s), dtype=np.float64)
+    ranks[order] = np.arange(1, len(s) + 1)
+    # average ranks for ties
+    sorted_s = s[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        if j > i:
+            ranks[order[i : j + 1]] = (i + 1 + j + 1) / 2.0
+        i = j + 1
+    n_pos = int(y.sum())
+    n_neg = len(y) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    return (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+
+
+def f1_optimal_threshold(y: np.ndarray, s: np.ndarray) -> tuple[float, float]:
+    """Sweep unique scores, return (threshold, best F1)
+    (reference M2, pairwise_classifier.py:239-256)."""
+    best_t, best_f1 = 0.5, -1.0
+    for t in np.unique(np.round(s, 6)):
+        pred = s >= t
+        tp = int((pred & (y == 1)).sum())
+        fp = int((pred & (y == 0)).sum())
+        fn = int(((~pred) & (y == 1)).sum())
+        if tp == 0:
+            continue
+        p, r = tp / (tp + fp), tp / (tp + fn)
+        f1 = 2 * p * r / (p + r)
+        if f1 > best_f1:
+            best_t, best_f1 = float(t), float(f1)
+    return best_t, best_f1
+
+
+def train_matcher(
+    labeled_features: pd.DataFrame,
+    feature_cols: list[str] | None = None,
+    n_folds: int = 5,
+    seed: int = 42,
+) -> TrainedMatcher:
+    """5-fold stratified OOF CV → F1-optimal threshold → refit on all
+    (reference M1+M2, pairwise_classifier.py:284-371). Deterministic in
+    (data, seed)."""
+    cols = feature_cols or FEATURE_COLS
+    X = labeled_features[cols].to_numpy(dtype=np.float64)
+    y = labeled_features["label"].to_numpy(dtype=np.float64)
+    mean = X.mean(axis=0)
+    std = np.where(X.std(axis=0) > 0, X.std(axis=0), 1.0)
+    Z = (X - mean) / std
+
+    # stratified folds, deterministic
+    rng = np.random.default_rng(seed)
+    folds = np.zeros(len(y), dtype=int)
+    for cls in (0, 1):
+        idx = np.where(y == cls)[0]
+        rng.shuffle(idx)
+        folds[idx] = np.arange(len(idx)) % n_folds
+
+    oof = np.zeros(len(y))
+    fold_aucs = []
+    for k in range(n_folds):
+        tr, te = folds != k, folds == k
+        if te.sum() == 0 or len(np.unique(y[tr])) < 2:
+            continue
+        w = _fit_logreg(Z[tr], y[tr])
+        p = 1.0 / (1.0 + np.exp(-(np.hstack([Z[te], np.ones((te.sum(), 1))]) @ w)))
+        oof[te] = p
+        fold_aucs.append(roc_auc(y[te], p))
+
+    thr, oof_f1 = f1_optimal_threshold(y, oof)
+    w_full = _fit_logreg(Z, y)
+    return TrainedMatcher(
+        mean=mean,
+        std=std,
+        weights=w_full,
+        threshold=thr,
+        feature_cols=list(cols),
+        metrics={
+            "oof_auc": roc_auc(y, oof),
+            "oof_f1_at_threshold": oof_f1,
+            "fold_aucs": [float(a) for a in fold_aucs],
+            "n_pos": int(y.sum()),
+            "n": len(y),
+        },
+    )
+
+
+def apply_matcher(features_df: DataFrame, model: TrainedMatcher) -> DataFrame:
+    """Distributed scoring: broadcast model → Arrow-batched predict
+    (reference M3, applied at scripts/train_classifier.py:24-30)."""
+    cols = model.feature_cols
+
+    @pandas_udf(T.DoubleType())
+    def predict(*feats: pd.Series) -> pd.Series:
+        X = pd.concat(feats, axis=1)
+        X.columns = cols
+        return pd.Series(model.predict_proba(X))
+
+    df = features_df.withColumn("prob_match", predict(*[F.col(c) for c in cols]))
+    return df.withColumn(
+        "pred_match", (F.col("prob_match") >= F.lit(model.threshold)).cast("int")
+    )

@@ -1,0 +1,103 @@
+"""NER enrichment plumbing (reference P9-P11), model-free.
+
+The reference extracts entities with spaCy `en_core_web_trf` falling
+back to a HF BERT NER model (/root/reference/models/ner/
+ner_extractor.py:63-105), formats them as `"text<LABEL>; ..."` strings
+(models/ner/token_processor.py:23-52) and merges back by id (:69-75).
+Heavy models don't exist in this container, so the extractor is a
+deterministic RULE-BASED kernel (capitalized-run → ORG, whitelist
+country → GPE, number → CARDINAL) behind the exact mapInPandas shape a
+transformer NER has at scale: model loaded once per executor, Arrow
+batches, no per-row Python round-trips. Swapping in spaCy is replacing
+`_rule_entities` with a pipe() call.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from entity_resolution__spark.operators.constraints import COUNTRY_WHITELIST
+
+_CAP_RUN = re.compile(r"\b(?:[A-Z][a-z0-9]+(?:[-_][A-Z]?[a-z0-9]+)*)(?:\s+[A-Z][a-z0-9]+)*\b")
+_NUMBER = re.compile(r"\b\d+(?:\.\d+)?\b")
+_COUNTRIES = {c.lower(): c for c in COUNTRY_WHITELIST}
+
+NER_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField(
+            "entities",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("text", T.StringType()),
+                        T.StructField("label", T.StringType()),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def _rule_entities(text: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for m in _CAP_RUN.finditer(text or ""):
+        t = m.group(0)
+        key = t.lower()
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append((t, "GPE" if key in _COUNTRIES else "ORG"))
+    for m in _NUMBER.finditer(text or ""):
+        if m.group(0) not in seen:
+            seen.add(m.group(0))
+            out.append((m.group(0), "CARDINAL"))
+    return out
+
+
+def extract_entities(
+    conv: DataFrame, id_col: str = "conv_id", text_col: str = "full_text"
+) -> DataFrame:
+    """mapInPandas NER: per-executor 'model' init, Arrow batch flow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-executor model init happens HERE (once per worker/partition
+        # stream) — this is where spacy.load() would go
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf[id_col],
+                    "entities": [ _rule_entities(t) for t in pdf[text_col] ],
+                }
+            )
+
+    return conv.select(id_col, text_col).mapInPandas(run, schema=NER_SCHEMA)
+
+
+def format_entity_tokens(entities_df: DataFrame) -> DataFrame:
+    """'IBM<ORG>; Japan<GPE>' formatting, case-insensitive dedupe
+    (reference token_processor.py:23-52) — pure Catalyst."""
+    ents = F.array_distinct(
+        F.transform(
+            F.col("entities"),
+            lambda e: F.concat(e["text"], F.lit("<"), e["label"], F.lit(">")),
+        )
+    )
+    return entities_df.select(
+        "conv_id", F.array_join(ents, "; ").alias("entity_tokens")
+    )
+
+
+def merge_back(conv: DataFrame, tokens_df: DataFrame) -> DataFrame:
+    """Left join enrichment onto the conversations table
+    (reference token_processor.py:69-75)."""
+    return conv.join(tokens_df, "conv_id", "left")

@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, plus two scale
+paths: random-hyperplane LSH bucketing (SimHash for vectors) and a
+centroid-partitioned IVF variant. Dot products stay JVM-side via
+F.zip_with + F.aggregate (no Python); the IVF assignment uses a numpy
+pandas UDF over Arrow batches.
+
+At 100 TB the brute-force path is only for reranking within a bucket:
+candidates come from LSH/IVF partitions so the shuffle is keyed on
+bucket, never an all-pairs cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def dot(a: Column, b: Column) -> Column:
+    # cast BEFORE multiplying: float32 inputs must promote to float64 so
+    # results are bit-comparable with engines that compute in double
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    den = norm(a) * norm(b)
+    return F.when(den > 0, dot(a, b) / den).otherwise(F.lit(0.0))
+
+
+def brute_topk(
+    emb: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine vs a single probe vector — one scan, one
+    distributed top-k (orderBy+limit = TakeOrdered, no full sort)."""
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), p), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def knn_join_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact k-NN of each query row against the corpus: broadcast the
+    (small) query side, per-query top-k via ranking window."""
+    joined = emb.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return joined.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH bucketing (random hyperplanes) — the scale path
+# ---------------------------------------------------------------------------
+
+
+def make_hyperplane_udf(dim: int, n_planes: int = 16, seed: int = 13):
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (M @ planes.T) > 0  # (batch, planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(bits @ weights)
+
+    return bucket
+
+
+def lsh_bucket_candidates(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-neighbor candidate pairs: same random-hyperplane bucket.
+    Shuffle is keyed on the bucket; per-bucket volume is ~N/2^planes."""
+    b = make_hyperplane_udf(dim, n_planes)
+    bucketed = emb.select(F.col(id_col), F.col(vec_col), b(F.col(vec_col)).alias("bucket"))
+    l, r = bucketed.alias("l"), bucketed.alias("r")
+    return (
+        l.join(r, "bucket")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_left"),
+            F.col(f"r.{id_col}").alias("id_right"),
+            F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6).alias(
+                "cos_sim"
+            ),
+            "bucket",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant: k-means-lite centroids → partition scan
+# ---------------------------------------------------------------------------
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (numpy, Arrow batch).
+    Search then probes only the query's closest centroid partitions."""
+    C = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.to_numpy())
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(Mn @ C.T, axis=1).astype(np.int32))
+
+    return emb.select(F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("list_id"))
+
+
+def train_centroids_sample(
+    emb: DataFrame, n_centroids: int = 16, sample: int = 2048,
+    vec_col: str = "embedding", seed: int = 11, iters: int = 8,
+) -> np.ndarray:
+    """Driver-side mini k-means on a bounded sample (Lloyd's, numpy).
+    The sample is capped so driver memory is constant w.r.t. corpus size."""
+    rows = emb.select(vec_col).limit(sample).collect()
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(len(C)):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    return C

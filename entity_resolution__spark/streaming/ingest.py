@@ -1,0 +1,66 @@
+"""Structured-Streaming ingest for transcripts (incremental ER).
+
+north_rule's resumability is batch-incremental, but a production
+transcript feed arrives continuously; this module gives the engine a
+streaming front door: readStream over a file/table source → watermarked
+dedup on (conv_id, turn_idx) → append to the transcripts checkpoint
+table, which the batch pipeline then resumes from. Conversation
+canonicalization itself stays batch (a conversation is only "closed"
+after a quiet period — enforced by the watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from entity_resolution__spark.schema import TRANSCRIPTS
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    return (
+        spark.readStream.format(fmt)
+        .schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 16)
+        .load(path)
+    )
+
+
+def deduped_turns(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Exactly-once turn stream: watermark on ts, drop duplicate
+    (conv_id, turn_idx) within the watermark window."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(
+        ["conv_id", "turn_idx"]
+    )
+
+
+def closed_conversation_ids(
+    stream: DataFrame, watermark: str = "10 minutes", quiet: str = "5 minutes"
+) -> DataFrame:
+    """Conversations with no new turns for `quiet`: session-window agg —
+    when a session window closes (watermark passes), the conversation is
+    ready for the batch ER pipeline."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", quiet), F.col("conv_id"))
+        .agg(F.count(F.lit(1)).alias("n_turns"), F.max("ts").alias("last_ts"))
+        .select("conv_id", "n_turns", "last_ts")
+    )
+
+
+def write_to_landing(
+    stream: DataFrame, out_path: str, checkpoint: str, trigger_secs: int = 30
+):
+    """Append-mode sink to the landing table the batch pipeline reads.
+    (On a production cluster: .toTable('cat.db.transcripts') on Iceberg.)
+    """
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_secs} seconds")
+        .outputMode("append")
+        .start()
+    )

@@ -1,0 +1,95 @@
+"""Dedup + text-stats operators on hand-made documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),  # exact dup of 1
+        (3, "the cat sat on a mat today"),  # near dup of 1
+        (4, "der hund ist nicht das problem"),
+        (5, "completely different zebra quantum flux"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    from entity_resolution__spark.operators.dedup import exact_dedup
+
+    out = exact_dedup(_docs(spark)).collect()
+    by_keep = {r["keep_id"]: r["n_copies"] for r in out}
+    assert by_keep[1] == 2  # docs 1,2 same digest, min id kept
+    assert by_keep[3] == 1
+    assert len(out) == 5  # 6 docs, one collision
+
+
+def test_minhash_identical_for_dups(spark):
+    from entity_resolution__spark.operators.dedup import minhash_signature
+
+    out = {r["doc_id"]: (r["mh_0"], r["mh_1"]) for r in
+           minhash_signature(_docs(spark).filter("doc_id <= 3"), n_hashes=2).collect()}
+    assert out[1] == out[2]  # identical text → identical signature
+    # near-dup shares most tokens → likely equal on at least one hash;
+    # exact equality not required, just determinism
+    assert out[3] is not None
+
+
+def test_simhash_hamming_close_for_neardups(spark):
+    from entity_resolution__spark.operators.dedup import simhash64
+    from entity_resolution__spark.operators.textstats import tokens_col
+
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in _docs(spark)
+        .select("doc_id", simhash64(tokens_col(F.col("text"))).alias("sh"))
+        .collect()
+    }
+    assert out[1] == out[2]
+    ham_near = bin((out[1] ^ out[3]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((out[1] ^ out[5]) & ((1 << 64) - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_ngram_jaccard_pairs(spark):
+    from entity_resolution__spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.99).collect()
+    assert {(r["id_left"], r["id_right"]) for r in out} == {(1, 2)}
+    loose = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.2).collect()
+    assert (1, 3) in {(r["id_left"], r["id_right"]) for r in loose}
+
+
+def test_lang_id_and_quality(spark):
+    from entity_resolution__spark.operators.textstats import lang_id, quality_features
+
+    df = _docs(spark)
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()
+    }
+    assert langs[1] == "en"
+    assert langs[4] == "de"
+    assert langs[5] == "und"
+    q = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert q[1]["q_tokens"] == 6
+    assert q[1]["q_stopword_ratio"] == round(2 / 6, 6)  # 'the' twice
+    assert q[6]["q_tokens"] == 0
+
+
+def test_fingerprint_normalization_invariant(spark):
+    from entity_resolution__spark.operators.textstats import fingerprint_col
+
+    df = spark.createDataFrame(
+        [(1, "The CAT sat"), (2, "the cat SAT"), (3, "the dog sat")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", fingerprint_col(F.col("text")).alias("fp")).collect()
+    }
+    assert out[1] == out[2]
+    assert out[1] != out[3]

@@ -1,0 +1,82 @@
+"""End-to-end correctness gate: the Spark pipeline must reproduce the
+reference-semantics clusters (brute-force all-pairs + DSU oracle) with
+pairwise F1 ≥ 0.99 on labeled pairs (BASELINE.json.metric), plus the
+kill-and-rerun resume property (north_rule)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from entity_resolution__spark.data.synth import make_labeled_pairs, make_transcripts
+from entity_resolution__spark.plans.checkpoint import StageStore
+from entity_resolution__spark.plans.pipeline import ERConfig, run_pipeline
+from entity_resolution__spark.schema import TRANSCRIPTS
+from tests.oracle import pairwise_f1, reference_clusters
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, tiny_transcripts, tiny_transcripts_sdf):
+    res = run_pipeline(spark, tiny_transcripts_sdf, ERConfig())
+    clusters = res.clusters.toPandas()
+    return res, clusters
+
+
+def test_f1_vs_reference_clusters(tiny_transcripts, pipeline_run):
+    _, clusters = pipeline_run
+    gold = reference_clusters(tiny_transcripts, threshold=0.60)
+    labeled = make_labeled_pairs(tiny_transcripts, seed=42)
+    f1 = pairwise_f1(labeled, clusters, gold)
+    assert f1 >= 0.99, f"pairwise F1 {f1:.4f} < 0.99"
+
+
+def test_f1_vs_latent_truth(tiny_transcripts, pipeline_run):
+    """Sanity: clusters also recover the latent duplicate families."""
+    from entity_resolution__spark.data.synth import true_clusters
+
+    _, clusters = pipeline_run
+    truth = true_clusters(tiny_transcripts).rename(
+        columns={"entity": "cluster_id"}
+    )
+    truth["cluster_size"] = 1  # unused by the metric
+    labeled = make_labeled_pairs(tiny_transcripts, seed=42)
+    f1 = pairwise_f1(labeled, clusters, truth)
+    assert f1 >= 0.95, f"latent-truth pairwise F1 {f1:.4f}"
+
+
+def test_cluster_output_shape(pipeline_run):
+    _, clusters = pipeline_run
+    # dense ids 0..K-1, sizes consistent
+    ids = sorted(clusters["cluster_id"].unique())
+    assert ids == list(range(len(ids)))
+    sizes = clusters.groupby("cluster_id")["conv_id"].count().sort_index()
+    got = (
+        clusters.drop_duplicates("cluster_id")
+        .set_index("cluster_id")["cluster_size"]
+        .sort_index()
+    )
+    assert (sizes.to_numpy() == got.to_numpy()).all()
+    assert clusters["conv_id"].is_unique
+
+
+def test_resume_from_snapshot(spark, tiny_transcripts_sdf, tmp_path_factory):
+    """Kill-and-rerun: second run reuses committed snapshots (same
+    snapshot ids for early stages) and yields identical clusters."""
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    cfg = ERConfig(use_minhash=False)  # smaller/faster stage set
+    store = StageStore(wh)
+    r1 = run_pipeline(spark, tiny_transcripts_sdf, cfg, store=store)
+    c1 = r1.clusters.toPandas().sort_values("conv_id").reset_index(drop=True)
+    snap_conv_1 = store.manifest("conversations")["snapshot_id"]
+
+    # simulate crash after scores: clusters manifest lost
+    os.remove(os.path.join(wh, "clusters", "manifest.json"))
+
+    store2 = StageStore(wh)
+    r2 = run_pipeline(spark, tiny_transcripts_sdf, cfg, store=store2)
+    c2 = r2.clusters.toPandas().sort_values("conv_id").reset_index(drop=True)
+    # early stages resumed, not recomputed
+    assert store2.manifest("conversations")["snapshot_id"] == snap_conv_1
+    # final output identical
+    assert c1.equals(c2)

@@ -1,0 +1,119 @@
+"""ANN similarity + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    rows = [(int(i), rng.standard_normal(8).astype(float).tolist()) for i in range(50)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema), rows
+
+
+def _cos(a, b):
+    a, b = np.array(a), np.array(b)
+    den = np.linalg.norm(a) * np.linalg.norm(b)
+    return float(a @ b / den) if den else 0.0
+
+
+def test_brute_topk_exact(spark, emb):
+    from entity_resolution__spark.operators.similarity import brute_topk
+
+    df, rows = emb
+    probe = rows[0][1]
+    got = [(r["vec_id"], r["cos_sim"]) for r in brute_topk(df, probe, k=5).collect()]
+    want = sorted(
+        ((i, round(_cos(v, probe), 6)) for i, v in rows),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert got == want
+
+
+def test_knn_join_topk(spark, emb):
+    from entity_resolution__spark.operators.similarity import knn_join_topk
+
+    df, rows = emb
+    q = spark.createDataFrame(
+        [(100, rows[1][1])], "qid long, qvec array<double>"
+    )
+    got = knn_join_topk(df, q, k=3).collect()
+    assert len(got) == 3
+    assert got[0]["vec_id"] == 1  # the identical vector ranks first
+    assert got[0]["cos_sim"] == 1.0
+
+
+def test_lsh_buckets_find_identical(spark, emb):
+    from entity_resolution__spark.operators.similarity import lsh_bucket_candidates
+
+    df, rows = emb
+    # add an exact duplicate of vec 0 with id 999
+    dup = spark.createDataFrame(
+        [(999, rows[0][1])], "vec_id long, embedding array<double>"
+    )
+    cand = lsh_bucket_candidates(df.union(dup), dim=8, n_planes=6)
+    pairs = {(r["id_left"], r["id_right"]) for r in cand.collect()}
+    assert (0, 999) in pairs  # identical vectors always share every bucket
+
+
+def test_ivf_assign_and_centroids(spark, emb):
+    from entity_resolution__spark.operators.similarity import (
+        ivf_assign,
+        train_centroids_sample,
+    )
+
+    df, _ = emb
+    C = train_centroids_sample(df, n_centroids=4, sample=50)
+    assert C.shape == (4, 8)
+    out = ivf_assign(df, C).collect()
+    assert len(out) == 50
+    assert all(0 <= r["list_id"] < 4 for r in out)
+
+
+def test_multimodal_feature_plumbing(spark):
+    from entity_resolution__spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        frame_sample_plan,
+    )
+
+    rows = [
+        ("m1", "image", b"\x89PNGfake", (64, 48, None, "image/png")),
+        ("m2", "image", b"\x89PNGfake", (64, 48, None, "image/png")),
+        ("m3", "video", b"\x00\x00vid", (320, 240, 3500, "video/mp4")),
+        ("m4", "audio", None, (None, None, 1200, "audio/wav")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_features(media, dim=8).collect()}
+    assert feats["m1"]["feature"] == feats["m2"]["feature"]  # same payload
+    assert feats["m1"]["feature"] != feats["m3"]["feature"]
+    assert feats["m4"]["n_bytes"] == 0
+    assert len(feats["m1"]["feature"]) == 8
+
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    # video m3: 3500ms → ts 0,1000,2000,3000
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_multimodal_stub_raises_without_fake(spark):
+    from entity_resolution__spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    media = spark.createDataFrame(
+        [("m1", "image", b"x", (1, 1, None, "image/png"))], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        extract_features(media, deterministic_fake=False).collect()
