@@ -98,24 +98,36 @@ def jaro(a: str, b: str) -> float:
     window = max(la, lb) // 2 - 1
     if window < 0:
         window = 0
-    match_a = [False] * la
+    # O(la+lb) matching: per-character position lists in b with a
+    # monotone pointer. The greedy "first unmatched j in window" of the
+    # classic algorithm consumes positions left-to-right, and the window
+    # lower bound only moves right, so one pointer per character suffices.
+    positions: dict[str, list[int]] = {}
+    for j, ch in enumerate(b):
+        positions.setdefault(ch, []).append(j)
+    ptr = dict.fromkeys(positions, 0)
+    a_match: list[str] = []
     match_b = [False] * lb
-    matches = 0
     for i, ch in enumerate(a):
-        lo = max(0, i - window)
-        hi = min(lb, i + window + 1)
-        for j in range(lo, hi):
-            if not match_b[j] and b[j] == ch:
-                match_a[i] = match_b[j] = True
-                matches += 1
-                break
-    if matches == 0:
+        lst = positions.get(ch)
+        if lst is None:
+            continue
+        p = ptr[ch]
+        lo = i - window
+        hi = i + window + 1
+        while p < len(lst) and lst[p] < lo:
+            p += 1
+        if p < len(lst) and lst[p] < hi:
+            match_b[lst[p]] = True
+            a_match.append(ch)
+            ptr[ch] = p + 1
+        else:
+            ptr[ch] = p
+    m = len(a_match)
+    if m == 0:
         return 0.0
-    # transpositions: matched chars in order
-    bs = [b[j] for j in range(lb) if match_b[j]]
-    t = sum(1 for ai, bi in zip((a[i] for i in range(la) if match_a[i]), bs) if ai != bi)
-    t //= 2
-    m = matches
+    b_match = [b[j] for j in range(lb) if match_b[j]]
+    t = sum(1 for x, y in zip(a_match, b_match) if x != y) // 2
     return (m / la + m / lb + (m - t) / m) / 3.0
 
 

@@ -101,7 +101,10 @@ def run_pipeline(
 
     def staged(name: str, compute, lineage: list[str] | None = None) -> DataFrame:
         if store is None:
-            return compute()
+            # no snapshot store: still materialize the stage boundary once
+            # (persist) — conv/scored are referenced by several downstream
+            # branches and must not recompute their UDF work per branch
+            return compute().persist()
         return store.stage(spark, name, {**p, "stage": name}, compute, lineage)
 
     conv = staged(
