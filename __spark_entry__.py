@@ -138,6 +138,29 @@ def q_ngram_neardup_pairs(spark, sf):
     )
 
 
+def q_acronyms(spark, sf):
+    from entity_resolution__spark.operators.textstats import acronyms_col
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(acronyms_col(F.col("text"))).alias("acronym"))
+        .groupBy("acronym")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_minhash_buckets(spark, sf):
+    from entity_resolution__spark.operators.dedup import minhash_buckets
+
+    b = minhash_buckets(_t(spark, sf, "documents"), n_hashes=4, band_size=2)
+    return (
+        b.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+        .select(F.col("band").cast("long").alias("band"), "bucket", "n_docs", "keep_id")
+    )
+
+
 def q_lang_quality(spark, sf):
     from entity_resolution__spark.operators.textstats import lang_id, quality_features
 
@@ -302,6 +325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
         "ngram_neardup_pairs": q_ngram_neardup_pairs,
+        "acronyms": q_acronyms,
+        "minhash_buckets": q_minhash_buckets,
         "lang_quality": q_lang_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "simhash": q_simhash,
@@ -390,6 +415,31 @@ def oracle_sql() -> dict[str, str]:
                   ELSE len(list_intersect(l.sh, r.sh))::DOUBLE
                        / len(list_distinct(list_concat(l.sh, r.sh)))::DOUBLE
                   END >= 0.2
+        """,
+        "acronyms": r"""
+            WITH a AS (
+              SELECT unnest(list_distinct(list_transform(
+                       regexp_extract_all(text, '\b[A-Z0-9&\-]{2,}\b'),
+                       x -> lower(x)))) AS acronym
+              FROM documents
+            )
+            SELECT acronym, count(*) AS n_docs FROM a GROUP BY 1
+        """,
+        "minhash_buckets": f"""
+            WITH sig AS (
+              SELECT doc_id,
+                list_min(list_transform(list_distinct({_TOKS}), t -> md5('0:' || t))) AS mh_0,
+                list_min(list_transform(list_distinct({_TOKS}), t -> md5('1:' || t))) AS mh_1,
+                list_min(list_transform(list_distinct({_TOKS}), t -> md5('2:' || t))) AS mh_2,
+                list_min(list_transform(list_distinct({_TOKS}), t -> md5('3:' || t))) AS mh_3
+              FROM documents
+            ), b AS (
+              SELECT doc_id, 0 AS band, md5(concat(mh_0, '|', mh_1)) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(concat(mh_2, '|', mh_3)) AS bucket FROM sig
+            )
+            SELECT band, bucket, count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM b GROUP BY 1, 2 HAVING count(*) > 1
         """,
         "lang_quality": f"""
             WITH t AS (

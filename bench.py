@@ -106,6 +106,7 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         results[name] = round(time.monotonic() - t0, 3)
+        print(f"  {name}: {results[name]}s", file=sys.stderr, flush=True)
     stop_spark()
 
     # ER pipeline throughput at the round's CPU budget

@@ -28,11 +28,21 @@ COUNTRIES = [
     "Denmark", "Finland", "Austria", "Belgium", "Poland",
 ]
 
-_VOCAB = (
-    "system pipeline cluster analysis research model data query engine "
-    "spark batch stream token entity record linkage block score match "
-    "graph node edge join shuffle partition index vector feature"
+# Wide vocabulary (spec: cross-family token-Jaccard < 0.2): entity core
+# tokens are drawn from 1200 synthetic words so unrelated conversations
+# share few content tokens, like real discriminative text.
+_SYLL = (
+    "ba be bi bo bu da de di do du ka ke ki ko ku la le li lo lu "
+    "ma me mi mo mu na ne ni no nu ra re ri ro ru sa se si so su "
+    "ta te ti to tu va ve vi vo vu za ze zi zo zu"
 ).split()
+_VOCAB = [
+    _SYLL[(i * 7) % len(_SYLL)]
+    + _SYLL[(i * 13 + 3) % len(_SYLL)]
+    + _SYLL[(i * 29 + 11) % len(_SYLL)]
+    + str(i % 10)
+    for i in range(1200)
+]
 
 _ORG_STEMS = (
     "acme nova orion vertex zenith quantum stellar apex cobalt ember "
@@ -81,11 +91,17 @@ def _turn_text(profile: dict, turn: int, rng: np.random.Generator) -> list[str]:
 
 
 def _perturb(tokens: list[str], rng: np.random.Generator) -> list[str]:
-    """Near-duplicate perturbation: drop/swap/case/accent, Jaccard ≳ 0.5."""
+    """Near-duplicate perturbation: drop/replace/swap/case/accent,
+    calibrated to same-family token-Jaccard ≳ 0.5."""
     out = list(tokens)
-    # drop at most one token (keeps jaccard high)
-    if len(out) > 3 and rng.random() < 0.5:
-        out.pop(int(rng.integers(len(out))))
+    # drop up to two tokens
+    for _ in range(2):
+        if len(out) > 3 and rng.random() < 0.5:
+            out.pop(int(rng.integers(len(out))))
+    # replace one token with a fresh vocab word (introduces new tokens)
+    if out and rng.random() < 0.4:
+        i = int(rng.integers(len(out)))
+        out[i] = _VOCAB[int(rng.integers(len(_VOCAB)))]
     # swap two adjacent tokens
     if len(out) > 2 and rng.random() < 0.5:
         i = int(rng.integers(len(out) - 1))

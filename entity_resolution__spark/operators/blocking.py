@@ -43,14 +43,25 @@ def prefix_token_keys(conv: DataFrame, n_tokens: int = 2) -> DataFrame:
     ).filter(F.length("block_key") > 0)
 
 
-def rare_token_keys(conv: DataFrame, max_df: int = 200, per_conv: int = 4) -> DataFrame:
+def rare_token_keys(
+    conv: DataFrame,
+    max_df: int = 200,
+    per_conv: int = 4,
+    max_df_frac: float | None = 0.005,
+) -> DataFrame:
     """Keys = up to `per_conv` rarest tokens of each conversation.
 
     Document frequency is a groupBy aggregate (map-side combined); tokens
-    with DF > max_df are dropped (stopword-like, would create hot blocks).
-    Rarest-token blocking is the scalable analog of the reference's
-    TF-IDF weighting: rare tokens carry the discriminative signal.
+    with DF > the cap are dropped (stopword-like, would create hot
+    blocks). The cap is min(max_df, max_df_frac·N): an absolute cap alone
+    is wrong under corpus growth — a token in 0.5% of 10¹⁰ conversations
+    is a stopword, not a key. Rarest-token blocking is the scalable
+    analog of the reference's TF-IDF weighting: rare tokens carry the
+    discriminative signal.
     """
+    if max_df_frac is not None:
+        n = conv.count()
+        max_df = max(10, min(max_df, int(max_df_frac * n)))
     tok = conv.select("conv_id", F.explode("token_set").alias("token"))
     df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     ranked = (

@@ -47,16 +47,27 @@ DEFAULT_THRESHOLD = 0.60  # pred_match cut; mirrors transitivity seed 0.60
 
 
 def featurize_pairs(
-    pairs_with_payload: DataFrame, idf_map: dict[str, float] | None = None
+    pairs_with_payload: DataFrame,
+    idf_map: dict[str, float] | None = None,
+    min_token_jaccard: float = 0.15,
 ) -> DataFrame:
     """Pairs joined with payload cols (full_text/tokens/roles/tools _l/_r)
     → + the 10 feature columns. token_jaccard stays in Catalyst; the rest
     is one Arrow-batched struct UDF call (one Python round-trip per batch).
+
+    min_token_jaccard is the C4 token-overlap prune of the reference
+    (token_overlap_constraint.py:26 prunes < 0.20) applied BEFORE the
+    expensive kernels: the cheap codegen'd jaccard gates the Python UDF,
+    so blocking false-positives never pay the string-kernel cost. The
+    pandas oracle applies the identical rule (tests/oracle.py).
     """
     feat = make_feature_udf(idf_map)
     df = pairs_with_payload.withColumn(
         "token_jaccard", jaccard(F.col("token_set_l"), F.col("token_set_r"))
-    ).withColumn(
+    )
+    if min_token_jaccard > 0:
+        df = df.filter(F.col("token_jaccard") >= F.lit(min_token_jaccard))
+    df = df.withColumn(
         "_f",
         feat(
             F.col("norm_text_l"),

@@ -86,6 +86,18 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def acronyms_col(text: Column) -> Column:
+    """Acronym detection (reference B10,
+    visualize_k_value_for_blocking.py:33-43): uppercase/digit runs of
+    length ≥2, lowered, deduped. Pure Catalyst."""
+    return F.array_distinct(
+        F.transform(
+            F.regexp_extract_all(text, F.lit(r"\b[A-Z0-9&\-]{2,}\b"), 0),
+            lambda a: F.lower(a),
+        )
+    )
+
+
 def fingerprint_col(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized token
     join (rolling-hash analog, portable to the DuckDB oracle)."""

@@ -46,13 +46,17 @@ class ERConfig:
     # blocking
     use_minhash: bool = True
     minhash_perm: int = 32
-    minhash_bands: int = 8
+    minhash_bands: int = 4  # 8 rows/band: strict S-curve — rare-token
+    # keys carry family recall (pair completeness ≥0.99 on fixtures);
+    # LSH is the near-dup backup, so a steep curve keeps pair volume low
     rare_token_max_df: int = 200
     rare_tokens_per_conv: int = 4
     max_block: int = 2000
     salt_threshold: int = 200
     n_salts: int = 8
-    # scoring / constraints (reference thresholds: 0.45 keep, 0.60 seed)
+    # scoring / constraints (reference thresholds: 0.45 keep, 0.60 seed,
+    # C4 token-overlap prune 0.20 → our pre-filter 0.15 is conservative)
+    min_token_jaccard: float = 0.15
     keep_threshold: float = 0.45
     cluster_threshold: float = 0.60
     use_geo_constraint: bool = True
@@ -135,7 +139,9 @@ def run_pipeline(
             conv,
             ["norm_text", "tokens", "token_set", "roles", "tools"],
         )
-        feats = featurize_pairs(payload, idf_map)
+        feats = featurize_pairs(
+            payload, idf_map, min_token_jaccard=cfg.min_token_jaccard
+        )
         return score_pairs(feats, threshold=cfg.cluster_threshold).select(
             "id_left",
             "id_right",

@@ -69,9 +69,16 @@ def canonicalize_pd(transcripts: pd.DataFrame) -> pd.DataFrame:
 
 
 def score_pairs_pd(
-    conv: pd.DataFrame, pairs: pd.DataFrame, idf: dict | None = None
+    conv: pd.DataFrame,
+    pairs: pd.DataFrame,
+    idf: dict | None = None,
+    min_token_jaccard: float = 0.15,
 ) -> pd.DataFrame:
-    """Feature + weighted score for (conv_id_a, conv_id_b) pairs."""
+    """Feature + weighted score for (conv_id_a, conv_id_b) pairs.
+
+    min_token_jaccard mirrors the pipeline's C4-style pre-filter
+    (reference token_overlap_constraint.py:26): pairs under the cut
+    score 0 on both sides, so clusters stay identical."""
     c = conv.set_index("conv_id")
     a = c.loc[pairs["conv_id_a"]].reset_index(drop=True)
     b = c.loc[pairs["conv_id_b"]].reset_index(drop=True)
@@ -95,7 +102,9 @@ def score_pairs_pd(
         jac(x, y) for x, y in zip(a["token_set"], b["token_set"])
     ]
     out = pairs.reset_index(drop=True).copy()
-    out["prob_match"] = sum(feats[c_] * w for c_, w in SCORE_WEIGHTS.items())
+    prob = sum(feats[c_] * w for c_, w in SCORE_WEIGHTS.items())
+    prob = prob.where(feats["token_jaccard"] >= min_token_jaccard, 0.0)
+    out["prob_match"] = prob
     return out
 
 
