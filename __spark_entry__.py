@@ -188,7 +188,9 @@ def q_simhash(spark, sf):
     from entity_resolution__spark.operators.dedup import simhash64
     from entity_resolution__spark.operators.textstats import tokens_col
 
-    return _t(spark, sf, "documents").select(
+    d = _t(spark, sf, "documents")
+    # heavy per-row expression: spread a small single-file scan across cores
+    return d.repartition(spark.sparkContext.defaultParallelism).select(
         "doc_id", simhash64(tokens_col(F.col("text"))).alias("simhash")
     )
 

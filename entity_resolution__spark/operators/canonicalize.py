@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from entity_resolution__spark.functions.normalize import token_set, tokenize
+from entity_resolution__spark.functions.normalize import norm_and_tokens, token_set
 
 
 def canonicalize(transcripts: DataFrame) -> DataFrame:
@@ -43,8 +43,17 @@ def canonicalize(transcripts: DataFrame) -> DataFrame:
             )
         )
     )
+    spark = transcripts.sparkSession
     conv = (
-        transcripts.groupBy("conv_id")
+        transcripts.repartition(
+            # tokenize/normalize UDFs downstream are CPU-bound on small
+            # bytes: pre-shuffling on conv_id at full core-count keeps
+            # AQE from coalescing the UDF stage to few tasks (the groupBy
+            # reuses this partitioning, so no extra shuffle is added)
+            spark.sparkContext.defaultParallelism,
+            "conv_id",
+        )
+        .groupBy("conv_id")
         .agg(turns.alias("turns"))
         .select(
             "conv_id",
@@ -55,5 +64,10 @@ def canonicalize(transcripts: DataFrame) -> DataFrame:
             F.array_join(F.col("turns.text"), " ").alias("full_text"),
         )
     )
-    conv = conv.withColumn("tokens", tokenize(F.col("full_text")))
+    conv = (
+        conv.withColumn("_nt", norm_and_tokens(F.col("full_text")))
+        .withColumn("norm_text", F.col("_nt.norm_text"))
+        .withColumn("tokens", F.col("_nt.tokens"))
+        .drop("_nt")
+    )
     return conv.withColumn("token_set", token_set(F.col("tokens")))

@@ -131,6 +131,12 @@ def ngram_jaccard_pairs(
         b.alias("bk"),
         ngram_shingles(F.col(text_col), n).alias("sh"),
     ).filter(F.col("bk").isNotNull())
+    # CPU-heavy per-pair arrays: force the join across all cores — a
+    # small single-file scan would otherwise run the whole block join in
+    # one task (broadcast join keeps the scan's partitioning)
+    base = base.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "bk"
+    )
     l, r = base.alias("l"), base.alias("r")
     pairs = l.join(r, "bk").filter(F.col("l.id") < F.col("r.id"))
     inter = F.size(F.array_intersect(F.col("l.sh"), F.col("r.sh")))

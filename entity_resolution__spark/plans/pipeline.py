@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from entity_resolution__spark.functions.features import global_idf
-from entity_resolution__spark.functions.normalize import normalize_text
 from entity_resolution__spark.operators.blocking import (
     minhash_band_keys,
     rare_token_keys,
@@ -111,12 +110,8 @@ def run_pipeline(
             return compute().persist()
         return store.stage(spark, name, {**p, "stage": name}, compute, lineage)
 
-    conv = staged(
-        "conversations",
-        lambda: canonicalize(transcripts).withColumn(
-            "norm_text", normalize_text(F.col("full_text"))
-        ),
-    )
+    # canonicalize emits norm_text + tokens via one fused Arrow UDF
+    conv = staged("conversations", lambda: canonicalize(transcripts))
 
     blocks = staged("blocks", lambda: build_blocks(conv, cfg), ["conversations"])
 
@@ -139,6 +134,10 @@ def run_pipeline(
             conv,
             ["norm_text", "tokens", "token_set", "roles", "tools"],
         )
+        # the feature UDF is CPU-bound with small bytes/row: AQE's
+        # size-based coalescing would shrink this stage to a handful of
+        # tasks — pin it to the core count so kernels use every core
+        payload = payload.repartition(spark.sparkContext.defaultParallelism)
         feats = featurize_pairs(
             payload, idf_map, min_token_jaccard=cfg.min_token_jaccard
         )

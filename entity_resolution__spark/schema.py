@@ -31,6 +31,7 @@ CONVERSATIONS = T.StructType(
         T.StructField("roles", T.ArrayType(T.StringType()), False),
         T.StructField("tools", T.ArrayType(T.StringType()), False),
         T.StructField("full_text", T.StringType(), False),
+        T.StructField("norm_text", T.StringType(), False),
         T.StructField("tokens", T.ArrayType(T.StringType()), False),
         T.StructField("token_set", T.ArrayType(T.StringType()), False),
     ]
