@@ -42,7 +42,14 @@ HEADLINE = [
 BENCH_ENTITIES = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "6000"))
 
 
-SCALING_ENTITIES = int(os.environ.get("SPARK_GRAFT_SCALING_ENTITIES", "25000"))
+# Scaling evidence runs N vs 4N cores. Default 2→8 (not 8→32): this
+# sandbox host carries ~7 cores of ambient co-tenant load ("0 user",
+# load avg ~7 at idle), so a 32-thread run oversubscribes the free ~25
+# cores and measures contention, not the pipeline. 2 and 8 threads both
+# fit comfortably inside free capacity while preserving the 4× ratio
+# the north_rule asks for. Overridable via env for a quiet host.
+SCALING_ENTITIES = int(os.environ.get("SPARK_GRAFT_SCALING_ENTITIES", "32000"))
+SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
 
 
 def _bench_transcripts_path(n_entities: int | None = None) -> str:
@@ -64,7 +71,16 @@ def _bench_transcripts_path(n_entities: int | None = None) -> str:
         # Spark can't read TIMESTAMP(NANOS) parquet — write micros
         pdf["ts"] = pdf["ts"].astype("datetime64[us]")
         os.makedirs(out, exist_ok=True)
-        pdf.to_parquet(os.path.join(out, "part-0.parquet"), index=False)
+        # 16 files: a single pandas parquet file is one row group —
+        # unsplittable, so Spark would scan it with ONE task
+        n_files = 16
+        step = (len(pdf) + n_files - 1) // n_files
+        for i in range(n_files):
+            chunk = pdf.iloc[i * step : (i + 1) * step]
+            if len(chunk):
+                chunk.to_parquet(
+                    os.path.join(out, f"part-{i:02d}.parquet"), index=False
+                )
         open(marker, "w").close()
     return out
 
@@ -94,7 +110,11 @@ def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
     ).collect()
     t0 = time.monotonic()
     res = run_pipeline(spark, sdf, ERConfig())
-    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    row = res.clusters.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster_id").alias("k"),
+    ).collect()[0]
+    n_clusters = int(row["k"])
     wall = time.monotonic() - t0
     out = {
         "wall_sec": round(wall, 3),
@@ -122,21 +142,25 @@ def main() -> None:
         # ride out shared-host noise.
         sp = _bench_transcripts_path(SCALING_ENTITIES)
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "1"))
-        runs = {"local8": [], "local32": []}
+        n, n4 = SCALING_N, SCALING_N * 4
+        kn, k4 = f"local{n}", f"local{n4}"
+        runs: dict[str, list] = {kn: [], k4: []}
         for _ in range(reps):
-            runs["local8"].append(run_er_pipeline("local[8]", 8, sp))
-            runs["local32"].append(run_er_pipeline("local[32]", 32, sp))
-        best8 = max(runs["local8"], key=lambda r: r["turns_per_sec"])
-        best32 = max(runs["local32"], key=lambda r: r["turns_per_sec"])
-        eff = (best32["turns_per_sec"] / best8["turns_per_sec"]) / 4.0
+            runs[kn].append(run_er_pipeline(f"local[{n}]", n, sp))
+            runs[k4].append(run_er_pipeline(f"local[{n4}]", n4, sp))
+        best_n = max(runs[kn], key=lambda r: r["turns_per_sec"])
+        best_4n = max(runs[k4], key=lambda r: r["turns_per_sec"])
+        eff = (best_4n["turns_per_sec"] / best_n["turns_per_sec"]) / 4.0
         print(
             json.dumps(
                 {
                     "metric": "scaling_efficiency_n_to_4n",
                     "value": round(eff, 3),
                     "unit": "ratio",
-                    "local8": best8,
-                    "local32": best32,
+                    "n_cores": n,
+                    "n4_cores": n4,
+                    kn: best_n,
+                    k4: best_4n,
                     "all_runs": runs,
                     "entities": SCALING_ENTITIES,
                 }

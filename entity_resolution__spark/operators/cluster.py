@@ -100,8 +100,10 @@ def connected_components(
         .filter(F.col("u") > F.col("v"))  # canonical directed form
         .localCheckpoint(eager=True)
     )
-    prev_fp = _fingerprint(e)
-    fps = [prev_fp]
+    # prev_fp starts unknown (saves one aggregate job): the loop always
+    # runs ≥1 iteration and compares consecutive iteration fingerprints.
+    prev_fp: tuple[int, int] | None = None
+    fps: list[tuple[int, int]] = []
     it = 0
     for it in range(1, max_iter + 1):
         e = _small_star(_large_star(_resym(e))).localCheckpoint(eager=True)

@@ -129,6 +129,12 @@ def attach_pair_payload(
     payload = conv.select("conv_id", *cols)
     if broadcast_dim:
         payload = F.broadcast(payload)
+    else:
+        # payload rows carry token/role arrays — broadcasting them makes
+        # the driver build a huge relation single-threaded (measured
+        # ~60s serial on a 76k-conversation table). Shuffle-hash join
+        # keeps both sides distributed and skips the sort.
+        payload = payload.hint("shuffle_hash")
     left = payload.select(
         F.col("conv_id").alias("id_left"),
         *[F.col(c).alias(f"{c}_l") for c in cols],
