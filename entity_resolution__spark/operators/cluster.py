@@ -95,6 +95,11 @@ def connected_components(
     checkpointing layer to commit per-iteration snapshots (north_rule:
     cluster-iteration resumability).
     """
+    # Materialize the input edge list FIRST: _symmetric unions the edges
+    # with their reverse, and the two union branches would otherwise
+    # each recompute the full upstream lineage (double-running the
+    # feature UDF stage) before any persist cache is populated.
+    edges = edges.localCheckpoint(eager=True)
     e = (
         _symmetric(edges)
         .filter(F.col("u") > F.col("v"))  # canonical directed form
