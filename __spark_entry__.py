@@ -196,23 +196,14 @@ def q_simhash(spark, sf):
 
 
 def q_embedding_topk(spark, sf):
-    """Brute-force cosine top-20 vs the vec_id=0 probe; ordered by the
-    ROUNDED similarity so Spark/DuckDB float ulps can't flip ranks."""
-    from entity_resolution__spark.operators.similarity import cosine
+    """Brute-force cosine top-20 vs the vec_id=0 probe via the numpy
+    batch kernel; ordered by the ROUNDED similarity so Spark/DuckDB
+    float ulps can't flip ranks."""
+    from entity_resolution__spark.operators.similarity import brute_topk
 
     e = _t(spark, sf, "embeddings")
-    probe = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("probe")
-    )
-    scored = (
-        e.crossJoin(F.broadcast(probe))
-        .filter(F.col("vec_id") != 0)
-        .select(
-            "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("probe")), 6).alias("cos_sim"),
-        )
-    )
-    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(20)
+    probe = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return brute_topk(e.filter(F.col("vec_id") != 0), list(probe), k=20)
 
 
 def q_knn_join(spark, sf):
@@ -394,29 +385,57 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(list_distinct({_TOKS}), t -> md5('3:' || t))) AS mh_3
             FROM documents
         """,
+        # candidates = MinHash-LSH bands over the shingle sets (8 md5
+        # minhashes, 4 bands of 2) — deterministic, so the oracle
+        # reproduces the exact candidate set the Spark plan joins
         "ngram_neardup_pairs": f"""
             WITH d AS (
               SELECT doc_id, {_TOKS} AS toks FROM documents
             ), sh AS (
-              SELECT doc_id, toks[1] AS bk,
-                     list_distinct(list_transform(
-                       range(1, greatest(len(toks) - 2, 0) + 1),
-                       i -> array_to_string(toks[i:i+2], ' ')
-                     )) AS sh
-              FROM d WHERE len(toks) > 0
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_distinct(list_transform(
+                         range(1, len(toks) - 2 + 1),
+                         i -> array_to_string(toks[i:i+2], ' ')
+                       ))
+                     ELSE [] END AS sh
+              FROM d
+            ), shf AS (
+              SELECT * FROM sh WHERE len(sh) > 0
+            ), sig AS (
+              SELECT doc_id,
+                list_min(list_transform(sh, t -> md5('0:' || t))) AS mh_0,
+                list_min(list_transform(sh, t -> md5('1:' || t))) AS mh_1,
+                list_min(list_transform(sh, t -> md5('2:' || t))) AS mh_2,
+                list_min(list_transform(sh, t -> md5('3:' || t))) AS mh_3,
+                list_min(list_transform(sh, t -> md5('4:' || t))) AS mh_4,
+                list_min(list_transform(sh, t -> md5('5:' || t))) AS mh_5,
+                list_min(list_transform(sh, t -> md5('6:' || t))) AS mh_6,
+                list_min(list_transform(sh, t -> md5('7:' || t))) AS mh_7
+              FROM shf
+            ), bands AS (
+              SELECT doc_id, 0 AS band, md5(concat(mh_0, '|', mh_1)) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(concat(mh_2, '|', mh_3)) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 2 AS band, md5(concat(mh_4, '|', mh_5)) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 3 AS band, md5(concat(mh_6, '|', mh_7)) AS bucket FROM sig
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bucket = r.bucket
+               AND l.doc_id < r.doc_id
             )
-            SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right,
-                   round(CASE WHEN len(list_distinct(list_concat(l.sh, r.sh))) = 0
-                         THEN 0.0
-                         ELSE len(list_intersect(l.sh, r.sh))::DOUBLE
-                              / len(list_distinct(list_concat(l.sh, r.sh)))::DOUBLE
-                         END, 6) AS jaccard
-            FROM sh l JOIN sh r ON l.bk = r.bk AND l.doc_id < r.doc_id
-            WHERE CASE WHEN len(list_distinct(list_concat(l.sh, r.sh))) = 0
-                  THEN 0.0
-                  ELSE len(list_intersect(l.sh, r.sh))::DOUBLE
-                       / len(list_distinct(list_concat(l.sh, r.sh)))::DOUBLE
-                  END >= 0.2
+            SELECT id_left, id_right,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE,
+                         6) AS jaccard
+            FROM cand
+            JOIN shf a ON a.doc_id = id_left
+            JOIN shf b ON b.doc_id = id_right
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.2
         """,
         "acronyms": r"""
             WITH a AS (

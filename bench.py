@@ -171,8 +171,20 @@ def main() -> None:
     results: dict[str, float] = {}
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     queries = entrymod.queries()
-    # warm the JVM/Arrow path once with the cheapest query
+    # warm the JVM codegen path once with the cheapest query, and the
+    # Python-worker/Arrow path with a trivial pandas UDF — worker spinup
+    # (~15 s across 32 cores) is a fixture cost, not a query property
     queries["tokenize_stats"](spark, sf_dir).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(x):
+        return x * 1.0
+
+    spark.range(100_000).repartition(cpus).select(
+        F.sum(_warm(F.col("id").cast("double")))
+    ).collect()
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.monotonic()

@@ -46,6 +46,58 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(den > 0, dot(a, b) / den).otherwise(F.lit(0.0))
 
 
+def _cosine_vs_queries(
+    emb: DataFrame,
+    qids: list,
+    Q: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qid_type: T.DataType,
+) -> DataFrame:
+    """Corpus × query-matrix cosine scores via one float64 matmul per
+    Arrow batch (mapInPandas). The query side is collected to the driver
+    by the caller — it is the small/broadcastable side by contract; the
+    corpus side streams through in batches, so memory per task is
+    O(batch × dim + q × dim).
+
+    cos = (M @ Qᵀ) / outer(|M|, |Q|) — the same expression structure the
+    DuckDB oracle evaluates (dot / (norm·norm) in double), so rounding
+    to 6 decimals is stable across engines. Zero-norm rows score 0.
+    This replaces the round-1 per-element zip_with/aggregate dot product
+    (~100× slower per row at kNN volume)."""
+    qn = np.linalg.norm(Q, axis=1)
+    qid_arr = np.array(qids, dtype=object)
+    id_field = emb.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(qid_col, qid_type),
+            T.StructField(id_col, id_field.dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            mn = np.linalg.norm(M, axis=1)
+            den = np.outer(mn, qn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den > 0, (M @ Q.T) / den, 0.0)
+            nq = len(qids)
+            yield pd.DataFrame(
+                {
+                    qid_col: np.tile(qid_arr, len(pdf)),
+                    id_col: np.repeat(pdf[id_col].to_numpy(), nq),
+                    "cos_sim": np.round(cos.ravel(), 6),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
 def brute_topk(
     emb: DataFrame,
     probe: list[float],
@@ -53,14 +105,15 @@ def brute_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine vs a single probe vector — one scan, one
-    distributed top-k (orderBy+limit = TakeOrdered, no full sort)."""
-    p = F.array(*[F.lit(float(x)) for x in probe])
+    """Exact top-k by cosine vs a single probe vector — one scan through
+    the numpy batch kernel, one distributed top-k (orderBy+limit =
+    TakeOrdered, no full sort)."""
+    Q = np.array([probe], dtype=np.float64)
+    scored = _cosine_vs_queries(
+        emb, [0], Q, id_col, vec_col, "_qid", T.IntegerType()
+    )
     return (
-        emb.select(
-            F.col(id_col),
-            F.round(cosine(F.col(vec_col), p), 6).alias("cos_sim"),
-        )
+        scored.select(id_col, "cos_sim")
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -75,17 +128,21 @@ def knn_join_topk(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
 ) -> DataFrame:
-    """Exact k-NN of each query row against the corpus: broadcast the
-    (small) query side, per-query top-k via ranking window."""
-    joined = emb.crossJoin(F.broadcast(queries)).select(
-        F.col(qid_col),
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos_sim"),
+    """Exact k-NN of each query row against the corpus: collect the
+    (small) query side to a numpy matrix, score the corpus with one
+    matmul per Arrow batch, then per-query top-k via ranking window.
+    At 10⁹ corpus vectors the matmul kernel — not the join — is the
+    throughput term, and it runs at BLAS speed per batch."""
+    qrows = queries.select(qid_col, qvec_col).collect()
+    qids = [r[qid_col] for r in qrows]
+    Q = np.array([r[qvec_col] for r in qrows], dtype=np.float64)
+    scored = _cosine_vs_queries(
+        emb, qids, Q, id_col, vec_col, qid_col, queries.schema[qid_col].dataType
     )
     w = Window.partitionBy(qid_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
     )
-    return joined.withColumn("rank", F.row_number().over(w)).filter(
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
 
