@@ -86,9 +86,13 @@ def _bench_transcripts_path(n_entities: int | None = None) -> str:
 
 
 def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
-    """One full ER run (no checkpoint store): returns wall + turns/sec."""
+    """One full ER run (no checkpoint store): returns wall + turns/sec +
+    per-stage wall times + host load snapshots (shared-box attribution —
+    round-1 driver bench ran 3× slower than the builder's own number
+    under an ambient load spike; the snapshots make that auditable)."""
     from entity_resolution__spark.plans.pipeline import ERConfig, run_pipeline
 
+    load0 = os.getloadavg()
     spark = get_spark("bench-er", master=master, shuffle_partitions=shuffle)
     sdf = spark.read.parquet(path)
     n_turns = sdf.count()
@@ -109,7 +113,7 @@ def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
         F.sum(_warm(F.col("id").cast("double")))
     ).collect()
     t0 = time.monotonic()
-    res = run_pipeline(spark, sdf, ERConfig())
+    res = run_pipeline(spark, sdf, ERConfig(stage_timing=True))
     row = res.clusters.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("cluster_id").alias("k"),
@@ -122,6 +126,10 @@ def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
         "turns_per_sec": round(n_turns / wall, 1),
         "clusters": n_clusters,
         "master": master,
+        "stages": res.stage_wall,
+        "cc_iterations": res.cc_iterations,
+        "load_1m_start": round(load0[0], 2),
+        "load_1m_end": round(os.getloadavg()[0], 2),
     }
     stop_spark()
     return out
@@ -138,29 +146,37 @@ def main() -> None:
 
     if scaling_only:
         # Dedicated scaling-evidence run (BASELINE.md): bigger input so
-        # compute dominates the fixed overhead, best-of-2 per level to
-        # ride out shared-host noise.
+        # compute dominates the fixed overhead, best-of-reps per level to
+        # ride out shared-host noise. Reports BOTH N→4N and 4N→16N
+        # (default 2→8 and 8→32) so the claim is auditable on a shared
+        # box where 32 threads may oversubscribe free capacity.
         sp = _bench_transcripts_path(SCALING_ENTITIES)
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "1"))
-        n, n4 = SCALING_N, SCALING_N * 4
-        kn, k4 = f"local{n}", f"local{n4}"
-        runs: dict[str, list] = {kn: [], k4: []}
+        levels = [SCALING_N, SCALING_N * 4, min(SCALING_N * 16, 32)]
+        levels = sorted(set(levels))
+        runs: dict[str, list] = {f"local{n}": [] for n in levels}
         for _ in range(reps):
-            runs[kn].append(run_er_pipeline(f"local[{n}]", n, sp))
-            runs[k4].append(run_er_pipeline(f"local[{n4}]", n4, sp))
-        best_n = max(runs[kn], key=lambda r: r["turns_per_sec"])
-        best_4n = max(runs[k4], key=lambda r: r["turns_per_sec"])
-        eff = (best_4n["turns_per_sec"] / best_n["turns_per_sec"]) / 4.0
+            for n in levels:
+                runs[f"local{n}"].append(run_er_pipeline(f"local[{n}]", n, sp))
+        best = {
+            n: max(runs[f"local{n}"], key=lambda r: r["turns_per_sec"])
+            for n in levels
+        }
+        effs = {}
+        for lo, hi in zip(levels, levels[1:]):
+            ratio = hi / lo
+            effs[f"efficiency_{lo}_to_{hi}"] = round(
+                (best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]) / ratio, 3
+            )
+        headline = effs.get(f"efficiency_{levels[0]}_to_{levels[0] * 4}")
         print(
             json.dumps(
                 {
                     "metric": "scaling_efficiency_n_to_4n",
-                    "value": round(eff, 3),
+                    "value": headline,
                     "unit": "ratio",
-                    "n_cores": n,
-                    "n4_cores": n4,
-                    kn: best_n,
-                    k4: best_4n,
+                    **effs,
+                    **{f"local{n}": best[n] for n in levels},
                     "all_runs": runs,
                     "entities": SCALING_ENTITIES,
                 }
@@ -185,12 +201,14 @@ def main() -> None:
     spark.range(100_000).repartition(cpus).select(
         F.sum(_warm(F.col("id").cast("double")))
     ).collect()
+    query_load: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         results[name] = round(time.monotonic() - t0, 3)
+        query_load[name] = round(os.getloadavg()[0], 2)
         print(f"  {name}: {results[name]}s", file=sys.stderr, flush=True)
     stop_spark()
 
@@ -198,7 +216,7 @@ def main() -> None:
     er = run_er_pipeline(f"local[{cpus}]", cpus, er_path)
     results["er_pipeline"] = er["wall_sec"]
 
-    extras: dict = {"er": er}
+    extras: dict = {"er": er, "query_load_1m": query_load}
     if scaling:
         er8 = run_er_pipeline("local[8]", 8, er_path)
         er32 = run_er_pipeline("local[32]", 32, er_path)

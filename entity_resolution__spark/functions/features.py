@@ -172,13 +172,16 @@ def make_feature_udf(idf_map: dict[str, float] | None = None):
     return feature_struct
 
 
-def global_idf(conv: DataFrame, max_vocab: int = 1 << 20) -> dict[str, float]:
+def global_idf(
+    conv: DataFrame, max_vocab: int = 1 << 20, n_docs: int | None = None
+) -> dict[str, float]:
     """token → smoothed idf over all conversations, capped to the top
     `max_vocab` terms by document frequency (rare tail defaults to idf=1
     inside the UDF — at 10^12-turn scale the broadcast stays bounded).
     Smoothing matches sklearn's TfidfVectorizer: ln((1+N)/(1+df)) + 1.
     """
-    n_docs = conv.count()
+    if n_docs is None:
+        n_docs = conv.count()
     rows = (
         conv.select(F.explode("token_set").alias("token"))
         .groupBy("token")

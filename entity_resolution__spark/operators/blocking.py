@@ -48,6 +48,7 @@ def rare_token_keys(
     max_df: int = 200,
     per_conv: int = 4,
     max_df_frac: float | None = 0.005,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Keys = up to `per_conv` rarest tokens of each conversation.
 
@@ -60,7 +61,9 @@ def rare_token_keys(
     discriminative signal.
     """
     if max_df_frac is not None:
-        n = conv.count()
+        # n_docs threads one corpus count through every operator that
+        # needs it (round-1 flag: 3 redundant count jobs per pipeline run)
+        n = n_docs if n_docs is not None else conv.count()
         max_df = max(10, min(max_df, int(max_df_frac * n)))
     tok = conv.select("conv_id", F.explode("token_set").alias("token"))
     df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -79,12 +82,18 @@ def rare_token_keys(
     return ranked.select("conv_id", F.col("token").alias("block_key"))
 
 
-def stopwords_by_idf(conv: DataFrame, idf_pct: float = 0.20, df_cut: float = 0.20) -> DataFrame:
+def stopwords_by_idf(
+    conv: DataFrame,
+    idf_pct: float = 0.20,
+    df_cut: float = 0.20,
+    n_docs: int | None = None,
+) -> DataFrame:
     """TF-IDF-based auto-stopwords (reference B8,
     visualize_k_value_for_blocking.py:61-75): tokens whose idf is in the
     lowest `idf_pct` quantile OR whose document frequency exceeds
     `df_cut` of docs. Distributed: one DF aggregate + approxQuantile."""
-    n_docs = conv.count()
+    if n_docs is None:
+        n_docs = conv.count()
     dfreq = (
         conv.select(F.explode("token_set").alias("token"))
         .groupBy("token")

@@ -105,10 +105,12 @@ def geo_prune_pairs(pairs: DataFrame, countries: DataFrame) -> DataFrame:
     ).select("id_left", "id_right")
 
 
-def stopwords_by_df(conv: DataFrame, cutoff: float = 0.30) -> DataFrame:
+def stopwords_by_df(
+    conv: DataFrame, cutoff: float = 0.30, n_docs: int | None = None
+) -> DataFrame:
     """Tokens appearing in ≥ cutoff of conversations
     (stopwords_extractor.py:10-22 semantics, distributed)."""
-    n = conv.count()
+    n = n_docs if n_docs is not None else conv.count()
     return (
         conv.select(F.explode("token_set").alias("token"))
         .groupBy("token")
@@ -153,7 +155,10 @@ def apply_constraints(
     prune = prune_sets[0]
     for p in prune_sets[1:]:
         prune = prune.unionByName(p)
-    prune = prune.dropDuplicates(["id_left", "id_right"])
+    # both outputs consume the prune set (anti + semi join) — persist it
+    # so the country-extraction UDF and prune joins run once, not per
+    # output branch
+    prune = prune.dropDuplicates(["id_left", "id_right"]).persist()
     kept = thresholded.join(prune, ["id_left", "id_right"], "left_anti")
     dropped = thresholded.join(prune, ["id_left", "id_right"], "left_semi")
     return kept, dropped

@@ -66,7 +66,15 @@ def featurize_pairs(
         "token_jaccard", jaccard(F.col("token_set_l"), F.col("token_set_r"))
     )
     if min_token_jaccard > 0:
-        df = df.filter(F.col("token_jaccard") >= F.lit(min_token_jaccard))
+        # reference skip semantics (token_overlap_constraint.py:16-70):
+        # NEVER prune when either side has no tokens — no evidence is not
+        # negative evidence. The empty-side jaccard convention is 0.0, so
+        # without the exemption such pairs would be silently dropped.
+        df = df.filter(
+            (F.col("token_jaccard") >= F.lit(min_token_jaccard))
+            | (F.size("token_set_l") == 0)
+            | (F.size("token_set_r") == 0)
+        )
     df = df.withColumn(
         "_f",
         feat(

@@ -34,6 +34,8 @@ from entity_resolution__spark.operators.constraints import (
     apply_constraints,
     conv_countries,
     geo_prune_pairs,
+    stopwords_by_df,
+    token_overlap_prune_pairs,
 )
 from entity_resolution__spark.operators.pairs import attach_pair_payload, candidate_pairs
 from entity_resolution__spark.operators.score import featurize_pairs, score_pairs
@@ -59,12 +61,26 @@ class ERConfig:
     keep_threshold: float = 0.45
     cluster_threshold: float = 0.60
     use_geo_constraint: bool = True
+    # C4 standalone form (reference token_overlap_constraint.py): prune
+    # scored pairs whose STOPWORD-FILTERED token jaccard < 0.20, skipping
+    # pairs with an empty side. Off by default — the featurize pre-gate
+    # already applies the cheap raw-token form before the feature UDF.
+    use_token_overlap_constraint: bool = False
+    token_overlap_min_jaccard: float = 0.20
+    stopword_df_cutoff: float = 0.30
     use_global_idf: bool = False  # costs one extra pass; off for bench
     # clustering
     cc_max_iter: int = 50
+    # bench instrumentation: force+time each stage boundary (not part of
+    # the semantic fingerprint)
+    stage_timing: bool = False
+
+    _NON_SEMANTIC = ("stage_timing",)
 
     def params(self) -> dict:
-        return dict(self.__dict__)
+        return {
+            k: v for k, v in self.__dict__.items() if k not in self._NON_SEMANTIC
+        }
 
 
 @dataclass
@@ -78,11 +94,15 @@ class ERResult:
     clusters: DataFrame
     cc_iterations: int = 0
     stage_rows: dict = field(default_factory=dict)
+    stage_wall: dict = field(default_factory=dict)  # cfg.stage_timing=True
 
 
-def build_blocks(conv: DataFrame, cfg: ERConfig) -> DataFrame:
+def build_blocks(conv: DataFrame, cfg: ERConfig, n_docs: int | None = None) -> DataFrame:
     keys = rare_token_keys(
-        conv, max_df=cfg.rare_token_max_df, per_conv=cfg.rare_tokens_per_conv
+        conv,
+        max_df=cfg.rare_token_max_df,
+        per_conv=cfg.rare_tokens_per_conv,
+        n_docs=n_docs,
     )
     if cfg.use_minhash:
         keys = keys.unionByName(
@@ -101,19 +121,64 @@ def run_pipeline(
 ) -> ERResult:
     cfg = cfg or ERConfig()
     p = cfg.params()
+    stage_wall: dict[str, float] = {}
+
+    # Input identity folded into every stage fingerprint (else a rerun
+    # with a different --input but the same warehouse would silently
+    # resume from the previous input's snapshots). semanticHash covers
+    # the logical plan (source paths, schema, filters); inputFiles pins
+    # the concrete file set for file-based sources.
+    input_fp: dict | None = None
+    if store is not None:
+        try:
+            files = sorted(transcripts.inputFiles())
+        except Exception:
+            files = []
+        try:
+            sem = transcripts.semanticHash()
+        except Exception:
+            sem = None
+        input_fp = {"semantic_hash": sem, "files": files}
 
     def staged(name: str, compute, lineage: list[str] | None = None) -> DataFrame:
+        import time as _time
+
+        t0 = _time.monotonic()
         if store is None:
             # no snapshot store: still materialize the stage boundary once
             # (persist) — conv/scored are referenced by several downstream
             # branches and must not recompute their UDF work per branch
-            return compute().persist()
-        return store.stage(spark, name, {**p, "stage": name}, compute, lineage)
+            out = compute().persist()
+            if cfg.stage_timing:
+                out.count()
+        else:
+            # fingerprint chains over the input identity and the lineage
+            # stages' committed snapshot ids: an upstream recompute (new
+            # snapshot id) invalidates everything downstream
+            params = {
+                **p,
+                "stage": name,
+                "input": input_fp,
+                "lineage_snapshots": {
+                    dep: (store.manifest(dep) or {}).get("snapshot_id")
+                    for dep in (lineage or [])
+                },
+            }
+            out = store.stage(spark, name, params, compute, lineage)
+        stage_wall[name] = round(_time.monotonic() - t0, 3)
+        return out
 
     # canonicalize emits norm_text + tokens via one fused Arrow UDF
     conv = staged("conversations", lambda: canonicalize(transcripts))
 
-    blocks = staged("blocks", lambda: build_blocks(conv, cfg), ["conversations"])
+    # one corpus count, threaded through every operator that needs N
+    # (blocking DF caps, stopword cutoffs, idf smoothing); also warms the
+    # conv persist so downstream branches read from cache
+    n_docs = conv.count()
+
+    blocks = staged(
+        "blocks", lambda: build_blocks(conv, cfg, n_docs=n_docs), ["conversations"]
+    )
 
     pairs = staged(
         "candidate_pairs",
@@ -126,7 +191,7 @@ def run_pipeline(
         ["blocks"],
     )
 
-    idf_map = global_idf(conv) if cfg.use_global_idf else None
+    idf_map = global_idf(conv, n_docs=n_docs) if cfg.use_global_idf else None
 
     def compute_scored() -> DataFrame:
         payload = attach_pair_payload(
@@ -154,15 +219,39 @@ def run_pipeline(
     def compute_edges() -> tuple[DataFrame, DataFrame]:
         prune_sets = []
         if cfg.use_geo_constraint:
-            countries = conv_countries(conv)
+            # materialize the derived country table BEFORE the two-branch
+            # prune join: left lazy, the UDF subtree is planned inside the
+            # join's shuffle-map stages and the composite plan measured ~9×
+            # slower (26.8s vs 3.0s at 100k turns) than joining the small
+            # cached dimension
+            countries = conv_countries(conv).persist()
+            countries.count()
             prune_sets.append(geo_prune_pairs(scored, countries))
+        if cfg.use_token_overlap_constraint:
+            sw = stopwords_by_df(conv, cfg.stopword_df_cutoff, n_docs=n_docs)
+            tl = conv.select(
+                F.col("conv_id").alias("id_left"),
+                F.col("token_set").alias("token_set_l"),
+            )
+            tr = conv.select(
+                F.col("conv_id").alias("id_right"),
+                F.col("token_set").alias("token_set_r"),
+            )
+            pairs_tokens = scored.join(tl, "id_left").join(tr, "id_right")
+            prune_sets.append(
+                token_overlap_prune_pairs(
+                    pairs_tokens, sw, min_jaccard=cfg.token_overlap_min_jaccard
+                )
+            )
         return apply_constraints(scored, prune_sets, min_prob=cfg.keep_threshold)
 
-    if store is None:
-        kept, dropped = compute_edges()
-    else:
-        kept = staged("edges", lambda: compute_edges()[0], ["scores"])
-        dropped = staged("edges_dropped", lambda: compute_edges()[1], ["scores"])
+    # compute (kept, dropped) ONCE and commit both from the single pair —
+    # the two stages share the country-extraction UDF and prune joins
+    kept, dropped = compute_edges()
+    if store is not None:
+        _k, _d = kept, dropped
+        kept = staged("edges", lambda: _k, ["scores"])
+        dropped = staged("edges_dropped", lambda: _d, ["scores"])
 
     cluster_edges = kept.filter(
         F.col("prob_match") >= F.lit(cfg.cluster_threshold)
@@ -196,4 +285,5 @@ def run_pipeline(
         dropped=dropped,
         clusters=clusters,
         cc_iterations=cc_iter_store.get("iterations", 0),
+        stage_wall=stage_wall,
     )

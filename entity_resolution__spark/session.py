@@ -38,6 +38,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # console progress bar pushes large \r-frames through stderr every
+        # 200ms — megabytes per run through a piped/captured stderr, and a
+        # blocked pipe stalls the JVM writer thread. Pure noise for a
+        # benchmarked engine.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

@@ -103,7 +103,17 @@ def score_pairs_pd(
     ]
     out = pairs.reset_index(drop=True).copy()
     prob = sum(feats[c_] * w for c_, w in SCORE_WEIGHTS.items())
-    prob = prob.where(feats["token_jaccard"] >= min_token_jaccard, 0.0)
+    # reference skip semantics: the pre-filter never drops a pair with an
+    # empty token set on either side (matches featurize_pairs)
+    import pandas as _pd
+
+    empty_side = _pd.Series(
+        [len(set(x)) == 0 or len(set(y)) == 0
+         for x, y in zip(a["token_set"], b["token_set"])]
+    )
+    prob = prob.where(
+        (feats["token_jaccard"] >= min_token_jaccard) | empty_side, 0.0
+    )
     out["prob_match"] = prob
     return out
 

@@ -81,6 +81,68 @@ def test_apply_constraints_threshold_and_antijoin(spark):
     assert d == {("a", "b")}
 
 
+def test_stopwords_by_df(spark):
+    from entity_resolution__spark.operators.constraints import stopwords_by_df
+
+    conv = spark.createDataFrame(
+        [
+            ("a", ["the", "tokyo", "lab"]),
+            ("b", ["the", "osaka"]),
+            ("c", ["the", "kyoto", "lab"]),
+            ("d", ["nagoya"]),
+        ],
+        ["conv_id", "token_set"],
+    )
+    # 'the' df=3/4, 'lab' df=2/4 → cutoff 0.5 keeps both; 0.6 only 'the'
+    sw50 = {r["token"] for r in stopwords_by_df(conv, cutoff=0.5).collect()}
+    assert sw50 == {"the", "lab"}
+    sw60 = {r["token"] for r in stopwords_by_df(conv, cutoff=0.6, n_docs=4).collect()}
+    assert sw60 == {"the"}
+
+
+def test_stopwords_by_idf(spark):
+    from entity_resolution__spark.operators.blocking import stopwords_by_idf
+
+    conv = spark.createDataFrame(
+        [(f"c{i}", ["the", "and", f"rare{i}"]) for i in range(8)],
+        ["conv_id", "token_set"],
+    )
+    # vocab = 2 ubiquitous + 8 singletons: the 20% idf quantile lands on
+    # the ubiquitous tokens' idf (2/10 of vocab), and their df=100% also
+    # exceeds the 20% df cut → stopwords; singletons (df=1 < 0.2·8) kept
+    sw = {r["token"] for r in stopwords_by_idf(conv, idf_pct=0.20, df_cut=0.20).collect()}
+    assert sw == {"the", "and"}
+
+
+def test_token_overlap_prune_skip_when_empty(spark):
+    """Reference C4 semantics (token_overlap_constraint.py:16-70): prune
+    when stopword-filtered jaccard < cut, but NEVER when either side is
+    empty after stopword removal."""
+    from entity_resolution__spark.operators.constraints import (
+        token_overlap_prune_pairs,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            # disjoint informative tokens → jaccard 0 → prune
+            ("a", "b", ["the", "tokyo", "lab"], ["the", "osaka", "inst"]),
+            # same informative tokens → jaccard 1 → keep
+            ("a", "c", ["the", "tokyo", "lab"], ["tokyo", "lab"]),
+            # left side all stopwords → empty after removal → SKIP (keep)
+            ("a", "d", ["the"], ["osaka", "inst"]),
+            # overlap 1/3 ≥ 0.2 → keep
+            ("b", "c", ["tokyo", "lab"], ["tokyo", "inst"]),
+        ],
+        ["id_left", "id_right", "token_set_l", "token_set_r"],
+    )
+    sw = spark.createDataFrame([("the",)], ["token"])
+    pruned = {
+        (r["id_left"], r["id_right"])
+        for r in token_overlap_prune_pairs(pairs, sw, min_jaccard=0.20).collect()
+    }
+    assert pruned == {("a", "b")}
+
+
 def test_extract_countries_spark(spark):
     from pyspark.sql import functions as F
 

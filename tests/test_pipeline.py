@@ -80,3 +80,39 @@ def test_resume_from_snapshot(spark, tiny_transcripts_sdf, tmp_path_factory):
     assert store2.manifest("conversations")["snapshot_id"] == snap_conv_1
     # final output identical
     assert c1.equals(c2)
+
+
+def test_new_input_invalidates_snapshots(spark, tmp_path_factory):
+    """Rerunning with a DIFFERENT input against the same warehouse must
+    NOT resume from the previous input's snapshots (fingerprints carry
+    input identity + lineage snapshot ids)."""
+    wh = str(tmp_path_factory.mktemp("warehouse_inputs"))
+    cfg = ERConfig(use_minhash=False)
+    a = spark.createDataFrame(make_transcripts(seed=1, n_entities=12), schema=TRANSCRIPTS)
+    b = spark.createDataFrame(make_transcripts(seed=2, n_entities=15), schema=TRANSCRIPTS)
+
+    store = StageStore(wh)
+    run_pipeline(spark, a, cfg, store=store)
+    snap_conv_a = store.manifest("conversations")["snapshot_id"]
+    snap_clusters_a = store.manifest("clusters")["snapshot_id"]
+
+    store2 = StageStore(wh)
+    r_b = run_pipeline(spark, b, cfg, store=store2)
+    assert store2.manifest("conversations")["snapshot_id"] != snap_conv_a
+    assert store2.manifest("clusters")["snapshot_id"] != snap_clusters_a
+    # output reflects input B, not a stale replay of A
+    assert r_b.clusters.count() == b.select("conv_id").distinct().count()
+
+
+def test_token_overlap_constraint_wiring(spark, tiny_transcripts, tiny_transcripts_sdf):
+    """C4 standalone form wired behind ERConfig: stopword-aware prune
+    keeps the F1 gate green on the fixtures (true pairs share far more
+    than 20% of informative tokens)."""
+    res = run_pipeline(
+        spark, tiny_transcripts_sdf, ERConfig(use_token_overlap_constraint=True)
+    )
+    clusters = res.clusters.toPandas()
+    gold = reference_clusters(tiny_transcripts, threshold=0.60)
+    labeled = make_labeled_pairs(tiny_transcripts, seed=42)
+    f1 = pairwise_f1(labeled, clusters, gold)
+    assert f1 >= 0.99, f"pairwise F1 with token-overlap constraint {f1:.4f}"
