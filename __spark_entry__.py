@@ -309,6 +309,39 @@ def q_cc_clusters(spark, sf):
     )
 
 
+def q_cohort_clusters(spark, sf):
+    """G2 cohort-seeded transitivity over testdata: strong edges = near-dup
+    pairs (shingle jaccard ≥ 0.2) that SHARE the doc `lang` attribute (the
+    cohort analog of the reference's shared extracted country — testdata
+    text has no country mentions, so the attribute column stands in; the
+    country-cohort form is exercised in tests/test_cluster.py and
+    pipeline.run_cohort_transitivity). Per-cohort union-find, then one
+    global dense renumber over sorted (cohort, min member)."""
+    from entity_resolution__spark.operators.cluster import cohort_transitive_clusters
+    from entity_resolution__spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    meta = d.select(F.col("doc_id"), F.col("lang"))
+    edges = ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    ml = meta.select(F.col("doc_id").alias("id_left"), F.col("lang").alias("lang_l"))
+    mr = meta.select(F.col("doc_id").alias("id_right"), F.col("lang").alias("lang_r"))
+    seed = (
+        edges.join(ml, "id_left")
+        .join(mr, "id_right")
+        .filter(F.col("lang_l") == F.col("lang_r"))
+        .select(
+            F.col("id_left").cast("string").alias("u"),
+            F.col("id_right").cast("string").alias("v"),
+            F.col("lang_l").alias("cohort"),
+        )
+    )
+    return cohort_transitive_clusters(seed).select(
+        "node_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_stats": q_tokenize_stats,
@@ -330,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_order_rank": q_window_order_rank,
         "events_hourly": q_events_hourly,
         "cc_clusters": q_cc_clusters,
+        "cohort_clusters": q_cohort_clusters,
     }
 
 
@@ -563,6 +597,87 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        # cohort transitivity: per-cohort CC is expressible as a recursive
+        # transitive closure (components are tiny near-dup groups, so the
+        # closure stays linear-ish); renumber = row_number over sorted
+        # (cohort, min member) — same rule as the Spark operator
+        "cohort_clusters": f"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_distinct(list_transform(
+                         range(1, len(toks) - 2 + 1),
+                         i -> array_to_string(toks[i:i+2], ' ')
+                       ))
+                     ELSE [] END AS sh
+              FROM d
+            ), shf AS (
+              SELECT * FROM sh WHERE len(sh) > 0
+            ), sig AS (
+              SELECT doc_id,
+                list_min(list_transform(sh, t -> md5('0:' || t))) AS mh_0,
+                list_min(list_transform(sh, t -> md5('1:' || t))) AS mh_1,
+                list_min(list_transform(sh, t -> md5('2:' || t))) AS mh_2,
+                list_min(list_transform(sh, t -> md5('3:' || t))) AS mh_3,
+                list_min(list_transform(sh, t -> md5('4:' || t))) AS mh_4,
+                list_min(list_transform(sh, t -> md5('5:' || t))) AS mh_5,
+                list_min(list_transform(sh, t -> md5('6:' || t))) AS mh_6,
+                list_min(list_transform(sh, t -> md5('7:' || t))) AS mh_7
+              FROM shf
+            ), bands AS (
+              SELECT doc_id, 0 AS band, md5(concat(mh_0, '|', mh_1)) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(concat(mh_2, '|', mh_3)) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 2 AS band, md5(concat(mh_4, '|', mh_5)) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 3 AS band, md5(concat(mh_6, '|', mh_7)) AS bucket FROM sig
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bucket = r.bucket
+               AND l.doc_id < r.doc_id
+            ), edges AS (
+              SELECT id_left, id_right
+              FROM cand
+              JOIN shf a ON a.doc_id = id_left
+              JOIN shf b ON b.doc_id = id_right
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.2
+            ), seed AS (
+              SELECT ml.lang AS cohort,
+                     e.id_left::VARCHAR AS u, e.id_right::VARCHAR AS v
+              FROM edges e
+              JOIN documents ml ON ml.doc_id = e.id_left
+              JOIN documents mr ON mr.doc_id = e.id_right
+              WHERE ml.lang = mr.lang
+            ), sym AS (
+              SELECT cohort, u, v FROM seed
+              UNION
+              SELECT cohort, v AS u, u AS v FROM seed
+            ), nodes AS (
+              SELECT DISTINCT cohort, u AS node FROM sym
+            ), reach (cohort, a, b) AS (
+              SELECT cohort, u, v FROM sym
+              UNION
+              SELECT r.cohort, r.a, s.v
+              FROM reach r JOIN sym s ON r.cohort = s.cohort AND r.b = s.u
+            ), roots AS (
+              SELECT n.cohort, n.node, least(n.node, min(r.b)) AS root
+              FROM nodes n
+              JOIN reach r ON r.cohort = n.cohort AND r.a = n.node
+              GROUP BY n.cohort, n.node
+            ), ids AS (
+              SELECT cohort, root,
+                     row_number() OVER (ORDER BY cohort, root) - 1 AS cluster_id
+              FROM (SELECT DISTINCT cohort, root FROM roots)
+            )
+            SELECT r.node AS node_id, i.cluster_id,
+                   count(*) OVER (PARTITION BY i.cluster_id) AS cluster_size
+            FROM roots r JOIN ids i ON i.cohort = r.cohort AND i.root = r.root
         """,
         # simhash, cc_clusters: intentionally no oracle (xxhash64 /
         # iterative fixpoint not expressible in DuckDB) → rows-only check.

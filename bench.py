@@ -37,6 +37,7 @@ HEADLINE = [
     "knn_join",
     "simhash",
     "cc_clusters",
+    "cohort_clusters",
 ]
 
 BENCH_ENTITIES = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "6000"))

@@ -130,6 +130,66 @@ def connected_components(
     return CCResult(assignments=assign, iterations=it, fingerprints=fps)
 
 
+# separator for cohort-qualified node keys; sorts below every character
+# that can appear in cohort names or node ids, so the concatenated key
+# order equals the (cohort, node) tuple order
+_COHORT_SEP = "\x1f"
+
+
+def cohort_transitive_clusters(seed: DataFrame, max_iter: int = 50) -> DataFrame:
+    """G2 cohort-seeded transitivity (reference
+    /root/reference/scripts/apply_transitivity.py:107-168): union-find
+    run SEPARATELY per cohort over seed edges (u, v, cohort), then one
+    GLOBAL dense renumber over sorted (cohort, local cluster): a node
+    seeded in k cohorts appears k times, each with its cohort-local
+    cluster id mapped to a distinct global id.
+
+    Distributed form: qualify node keys as cohort‖sep‖node so ONE
+    large-star/small-star CC run handles every cohort at once (cohorts
+    never collide across the separator), split the keys back, and
+    renumber over the distinct (cohort, root) pairs via sorted
+    zipWithIndex — K rows, no single-partition window.
+
+    Documented deviation: within a cohort the reference orders local
+    clusters by the DSU root id, which depends on union order; here the
+    order key is the component's MIN member — deterministic and
+    engine-reproducible (the DuckDB oracle uses the same rule).
+
+    Input columns: u (string), v (string), cohort (string).
+    Output: (cohort, node_id, cluster_id, cluster_size).
+    """
+    spark = seed.sparkSession
+    q = seed.select(
+        F.concat_ws(_COHORT_SEP, "cohort", "u").alias("src"),
+        F.concat_ws(_COHORT_SEP, "cohort", "v").alias("dst"),
+    )
+    cc = connected_components(q, max_iter=max_iter)
+    asn = cc.assignments.select(
+        F.split_part(F.col("node"), F.lit(_COHORT_SEP), F.lit(1)).alias("cohort"),
+        F.split_part(F.col("node"), F.lit(_COHORT_SEP), F.lit(2)).alias("node_id"),
+        F.split_part(F.col("root"), F.lit(_COHORT_SEP), F.lit(2)).alias("root_node"),
+    )
+    roots = (
+        asn.select("cohort", "root_node").distinct().orderBy("cohort", "root_node")
+    )
+    indexed = (
+        roots.rdd.map(lambda r: (r["cohort"], r["root_node"]))
+        .zipWithIndex()
+        .map(lambda t: (t[0][0], t[0][1], t[1]))
+    )
+    root_ids = spark.createDataFrame(
+        indexed, "cohort string, root_node string, cluster_id long"
+    )
+    sizes = asn.groupBy("cohort", "root_node").agg(
+        F.count(F.lit(1)).cast("int").alias("cluster_size")
+    )
+    return (
+        asn.join(root_ids, ["cohort", "root_node"])
+        .join(sizes, ["cohort", "root_node"])
+        .select("cohort", "node_id", "cluster_id", "cluster_size")
+    )
+
+
 def cluster_edges(clusters: DataFrame, mode: str = "star") -> DataFrame:
     """Re-wire each cluster as a chain (sorted members consecutive) or a
     star (min member = hub), weight 1.0 — reference G5

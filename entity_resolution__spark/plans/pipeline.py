@@ -28,6 +28,7 @@ from entity_resolution__spark.operators.blocking import (
 from entity_resolution__spark.operators.canonicalize import canonicalize
 from entity_resolution__spark.operators.cluster import (
     assign_clusters,
+    cohort_transitive_clusters,
     connected_components,
 )
 from entity_resolution__spark.operators.constraints import (
@@ -111,6 +112,46 @@ def build_blocks(conv: DataFrame, cfg: ERConfig, n_docs: int | None = None) -> D
             )
         )
     return keys
+
+
+def cohort_seed_edges(
+    scored: DataFrame, countries: DataFrame, min_prob: float = 0.60
+) -> DataFrame:
+    """G2 seed selection (reference apply_transitivity.py:107-119): keep
+    edges with prob ≥ min_prob AND ≥1 shared extracted country, exploded
+    one row per shared country (the cohort). Cohorts are lowercased
+    canonical names, as in the reference."""
+    cl = countries.select(
+        F.col("conv_id").alias("id_left"), F.col("countries").alias("c_l")
+    )
+    cr = countries.select(
+        F.col("conv_id").alias("id_right"), F.col("countries").alias("c_r")
+    )
+    strong = scored.filter(F.col("prob_match") >= F.lit(min_prob))
+    return (
+        strong.join(cl, "id_left")
+        .join(cr, "id_right")
+        .select(
+            F.col("id_left").cast("string").alias("u"),
+            F.col("id_right").cast("string").alias("v"),
+            F.explode(F.array_intersect("c_l", "c_r")).alias("cohort"),
+        )
+        .withColumn("cohort", F.lower("cohort"))
+    )
+
+
+def run_cohort_transitivity(
+    scored: DataFrame,
+    countries: DataFrame,
+    min_prob: float = 0.60,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Reference E3 canonical output (er_clusters_transitive.csv analog):
+    cohort-seeded transitive clusters over scored pairs. Returns
+    (cohort, node_id, cluster_id, cluster_size)."""
+    return cohort_transitive_clusters(
+        cohort_seed_edges(scored, countries, min_prob), max_iter=max_iter
+    )
 
 
 def run_pipeline(

@@ -83,3 +83,90 @@ def test_long_path_converges_fast(spark):
     assert len(got) == 1 and len(next(iter(got))) == n
     # alternating star: ~log2(n) rounds, assert generous 3*log2+5 bound
     assert iters <= 3 * int(math.log2(n)) + 5, iters
+
+
+def test_cohort_transitive_clusters_vs_dsu(spark):
+    """G2 vs a per-cohort DSU oracle (reference apply_transitivity.py:
+    107-168 semantics): union-find per cohort, global dense renumber over
+    sorted (cohort, min member); multi-cohort nodes appear once PER
+    cohort."""
+    from entity_resolution__spark.operators.cluster import (
+        cohort_transitive_clusters,
+    )
+
+    # (u, v, cohort): japan has {a,b,c} via a-b, b-c and {x,y};
+    # canada has {a,d} — node a appears in BOTH cohorts
+    seed_rows = [
+        ("a", "b", "japan"),
+        ("b", "c", "japan"),
+        ("x", "y", "japan"),
+        ("a", "d", "canada"),
+    ]
+    seed = spark.createDataFrame(seed_rows, ["u", "v", "cohort"])
+    out = cohort_transitive_clusters(seed).collect()
+
+    # python oracle: DSU per cohort, renumber by sorted (cohort, min member)
+    comps = {}  # (cohort, frozenset(members))
+    import collections
+
+    adj = collections.defaultdict(lambda: collections.defaultdict(set))
+    for u, v, c in seed_rows:
+        adj[c][u].add(v)
+        adj[c][v].add(u)
+    comp_list = []
+    for c, g in adj.items():
+        seen = set()
+        for n in g:
+            if n in seen:
+                continue
+            stack, comp = [n], set()
+            while stack:
+                cur = stack.pop()
+                if cur in comp:
+                    continue
+                comp.add(cur)
+                stack.extend(g[cur] - comp)
+            seen |= comp
+            comp_list.append((c, min(comp), frozenset(comp)))
+    comp_list.sort(key=lambda t: (t[0], t[1]))
+    want = {}
+    for cid, (c, _m, members) in enumerate(comp_list):
+        for m in members:
+            want[(c, m)] = (cid, len(members))
+
+    got = {(r["cohort"], r["node_id"]): (r["cluster_id"], r["cluster_size"]) for r in out}
+    assert got == want
+    # node 'a' is in two cohorts → two rows
+    assert ("japan", "a") in got and ("canada", "a") in got
+
+
+def test_cohort_seed_edges_selection(spark):
+    """Seed selection: prob ≥ 0.60 AND ≥1 shared country, exploded per
+    shared country (reference apply_transitivity.py:107-119)."""
+    from entity_resolution__spark.plans.pipeline import cohort_seed_edges
+
+    scored = spark.createDataFrame(
+        [
+            ("a", "b", 0.9),   # share japan → seed
+            ("a", "c", 0.9),   # disjoint countries → no seed
+            ("b", "c", 0.59),  # below threshold → no seed
+            ("a", "d", 0.7),   # share japan AND canada → 2 seed rows
+            ("b", "e", 0.8),   # e has no countries → no seed
+        ],
+        ["id_left", "id_right", "prob_match"],
+    )
+    countries = spark.createDataFrame(
+        [
+            ("a", ["Canada", "Japan"]),
+            ("b", ["Japan"]),
+            ("c", ["France"]),
+            ("d", ["Canada", "Japan"]),
+            ("e", []),
+        ],
+        ["conv_id", "countries"],
+    )
+    got = {
+        (r["u"], r["v"], r["cohort"])
+        for r in cohort_seed_edges(scored, countries, min_prob=0.60).collect()
+    }
+    assert got == {("a", "b", "japan"), ("a", "d", "canada"), ("a", "d", "japan")}
