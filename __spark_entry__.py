@@ -139,11 +139,19 @@ def q_ngram_neardup_pairs(spark, sf):
 
 
 def q_acronyms(spark, sf):
+    """Acronym extraction over documents.text UNION the orders priority
+    strings. The synthetic document corpus is entirely lowercase — round
+    1's documents-only oracle row passed vacuously (0 == 0 rows); the
+    priority strings ('1-URGENT', '4-NOT SPECIFIED', …) exercise the
+    uppercase-run + hyphen-strip + digit-filter rules for real. Unit
+    coverage with mixed-case fixtures: tests/test_dedup_textstats.py."""
     from entity_resolution__spark.operators.textstats import acronyms_col
 
-    d = _t(spark, sf, "documents")
+    d = _t(spark, sf, "documents").select(F.col("text"))
+    o = _t(spark, sf, "orders").select(F.col("o_orderpriority").alias("text"))
     return (
-        d.select(F.explode(acronyms_col(F.col("text"))).alias("acronym"))
+        d.unionAll(o)
+        .select(F.explode(acronyms_col(F.col("text"))).alias("acronym"))
         .groupBy("acronym")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -472,11 +480,19 @@ def oracle_sql() -> dict[str, str]:
                   / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.2
         """,
         "acronyms": r"""
-            WITH a AS (
+            WITH corpus AS (
+              SELECT text FROM documents
+              UNION ALL
+              SELECT o_orderpriority AS text FROM orders
+            ), a AS (
               SELECT unnest(list_distinct(list_transform(
-                       regexp_extract_all(text, '\b[A-Z0-9&\-]{2,}\b'),
+                       list_filter(
+                         list_transform(
+                           regexp_extract_all(text, '[A-Z0-9&\-]{2,}'),
+                           x -> regexp_replace(x, '[^A-Za-z0-9]', '', 'g')),
+                         x -> len(x) >= 2 AND regexp_matches(x, '[A-Z]')),
                        x -> lower(x)))) AS acronym
-              FROM documents
+              FROM corpus
             )
             SELECT acronym, count(*) AS n_docs FROM a GROUP BY 1
         """,

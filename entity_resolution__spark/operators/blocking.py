@@ -133,6 +133,104 @@ def blocking_quality(
     }
 
 
+def blocking_quality_sweep(
+    conv: DataFrame,
+    pairs: DataFrame,
+    k_values: tuple[int, ...] = (5, 10, 20, 30, 40),
+    jaccard_min: float = 0.30,
+    idf_pct: float = 0.20,
+    df_cut: float = 0.20,
+    n_docs: int | None = None,
+) -> dict[int, dict[str, float]]:
+    """B7 k-sweep (reference visualize_k_value_for_blocking.py:109-173):
+    OverlapPurity@k, JaccardPurity@k (J ≥ jaccard_min on IMPORTANT token
+    sets = tokens minus auto-stopwords plus acronyms), AvgCosine@k, and
+    the directed reduction ratio, for each k.
+
+    The reference sweeps brute-force TF-IDF kNN neighbors (O(N²)); here
+    neighbors are the engine's own blocking candidates ranked per source
+    by binary token cosine — the metrics evaluate the ACTUAL candidate
+    generator at any scale. Purity denominators use k (missing neighbors
+    count as misses), mirroring the reference's share/k; AvgCosine@k
+    averages over the neighbors that exist.
+
+    One ranked-neighbor pass + one aggregate; returns driver-side
+    scalars (k_values is a small constant grid).
+    """
+    from entity_resolution__spark.operators.textstats import acronyms_col
+
+    spark = conv.sparkSession
+    if n_docs is None:
+        n_docs = conv.count()
+    sw = stopwords_by_idf(conv, idf_pct=idf_pct, df_cut=df_cut, n_docs=n_docs)
+    sw_arr = F.broadcast(sw.agg(F.collect_set("token").alias("sw")))
+    imp = (
+        conv.crossJoin(sw_arr)
+        .select(
+            "conv_id",
+            F.array_union(
+                F.array_except("token_set", "sw"),
+                acronyms_col(F.col("full_text")),
+            ).alias("imp"),
+        )
+        .persist()
+    )
+    sym = pairs.select(
+        F.col("id_left").alias("src"), F.col("id_right").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_right").alias("src"), F.col("id_left").alias("dst"))
+    )
+    il = imp.select(F.col("conv_id").alias("src"), F.col("imp").alias("imp_s"))
+    ir = imp.select(F.col("conv_id").alias("dst"), F.col("imp").alias("imp_d"))
+    ts = conv.select(F.col("conv_id").alias("src"), F.col("token_set").alias("ts_s"))
+    td = conv.select(F.col("conv_id").alias("dst"), F.col("token_set").alias("td_d"))
+    j = sym.join(il, "src").join(ir, "dst").join(ts, "src").join(td, "dst")
+    inter_imp = F.size(F.array_intersect("imp_s", "imp_d"))
+    union_imp = F.size(F.array_union("imp_s", "imp_d"))
+    jac = F.when(union_imp > 0, inter_imp.cast("double") / union_imp).otherwise(0.0)
+    denom = F.sqrt(F.size("ts_s").cast("double") * F.size("td_d").cast("double"))
+    cos = F.when(
+        denom > 0,
+        F.size(F.array_intersect("ts_s", "td_d")).cast("double") / denom,
+    ).otherwise(0.0)
+    scored = j.select(
+        "src",
+        "dst",
+        (inter_imp > 0).cast("int").alias("overlap_hit"),
+        (jac >= F.lit(jaccard_min)).cast("int").alias("jac_hit"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
+    max_k = max(k_values)
+    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= max_k
+    )
+    aggs = []
+    for k in k_values:
+        within = F.when(F.col("rk") <= k, 1).otherwise(0)
+        aggs += [
+            F.sum(within * F.col("overlap_hit")).alias(f"ov_{k}"),
+            F.sum(within * F.col("jac_hit")).alias(f"jc_{k}"),
+            F.sum(within * F.col("cos")).alias(f"cs_{k}"),
+            F.sum(within).alias(f"nn_{k}"),
+        ]
+    row = ranked.agg(*aggs).collect()[0]
+    imp.unpersist()
+    out: dict[int, dict[str, float]] = {}
+    total_pairs = n_docs * (n_docs - 1)
+    for k in k_values:
+        nn = row[f"nn_{k}"] or 0
+        out[k] = {
+            "overlap_purity": float((row[f"ov_{k}"] or 0) / (n_docs * k)),
+            "jaccard_purity": float((row[f"jc_{k}"] or 0) / (n_docs * k)),
+            "avg_cosine": float((row[f"cs_{k}"] or 0.0) / nn) if nn else 0.0,
+            "reduction_ratio": (
+                1.0 - (n_docs * k) / total_pairs if total_pairs else 0.0
+            ),
+        }
+    return out
+
+
 # ---------------------------------------------------------------------------
 # MinHash-LSH keys (q-gram shingles → minhash signature → banded keys)
 # ---------------------------------------------------------------------------

@@ -32,37 +32,57 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-# Whitelist mirroring the reference's 20-country list
+# The reference's exact 20-country whitelist
 # (/root/reference/src/constraints/geo_constraints.py:6-11).
 COUNTRY_WHITELIST = [
-    "United States", "Germany", "Japan", "Canada", "France",
-    "Italy", "Spain", "China", "India", "Brazil",
-    "Australia", "Netherlands", "Sweden", "Switzerland", "Norway",
-    "Denmark", "Finland", "Austria", "Belgium", "Poland",
+    "United States", "United Kingdom", "Taiwan", "China",
+    "United Arab Emirates", "Switzerland", "Greece", "Singapore",
+    "Germany", "Hong Kong", "Canada", "Italy", "France", "Australia",
+    "India", "Netherlands", "Israel", "Japan", "Brazil", "Denmark",
 ]
 
-# Ordered acronym → country substitutions (geo_constraints.py:14-27).
+# The reference's 12 ordered alias → canonical-country substitutions
+# (geo_constraints.py:14-27), applied in order after undotting. Kept only
+# when the target is whitelisted (same _build_country_subs rule).
 ACRONYM_SUBS = [
     (r"\bUSA\b", "United States"),
     (r"\bUS\b", "United States"),
     (r"\bUK\b", "United Kingdom"),
-    (r"\bPRC\b", "China"),
-    (r"\bFRG\b", "Germany"),
+    (r"\bROC\b", "Taiwan"),
+    (r"\bP\.?\s*R\.?\s*China\b", "China"),
+    (r"\bPeople's Republic of China\b", "China"),
+    (r"\bUAE\b", "United Arab Emirates"),
+    (r"\bCH\b", "Switzerland"),
+    (r"\bGR(?=[\W_]|$)", "Greece"),
+    (r"\bS\'?pore(?=[\W_]|$)", "Singapore"),
+    (r"\bSingapor(?=[\W_]|$)", "Singapore"),
+    (r"\bHong\s*Kong\b", "Hong Kong"),
 ]
 
-_DOTTED = re.compile(r"(?:[A-Za-z]\.){2,}[A-Za-z]?\.?")
+# Dotted acronyms like U.S.A., U.S., E.U. — the reference's exact pattern
+# (geo_constraints.py:30-32): uppercase letters only, no leading letter.
+_DOTTED = re.compile(r"(?<![A-Za-z])(?:[A-Z]\.){2,}[A-Z]?(?=\W|$)")
 
 
 def _undot(text: str) -> str:
-    """U.S.A. → USA (geo_constraints.py:30-46: per-match dot strip)."""
+    """U.S.A. → USA (geo_constraints.py:34-46: per-match dot/space strip)."""
     return _DOTTED.sub(lambda m: m.group(0).replace(".", "").replace(" ", ""), text)
 
 
+# country word-boundary patterns mirror _compile_country_patterns
+# (geo_constraints.py:72-80): (?<!\w)NAME(?!\w), case-insensitive. We
+# return canonical-case names (the reference lowercases; cohort keys are
+# lowered at the seed-edge step to match its cohort labels).
 _COUNTRY_RES = [
-    (c, re.compile(r"\b" + re.escape(c) + r"\b", re.IGNORECASE))
+    (c, re.compile(r"(?<!\w)" + re.escape(c) + r"(?!\w)", re.IGNORECASE))
     for c in COUNTRY_WHITELIST
 ]
-_ACRONYM_RES = [(re.compile(p), r) for p, r in ACRONYM_SUBS]
+# compiled with IGNORECASE exactly as _build_country_subs does
+_ACRONYM_RES = [
+    (re.compile(p, re.IGNORECASE), r)
+    for p, r in ACRONYM_SUBS
+    if r in COUNTRY_WHITELIST
+]
 
 
 @pandas_udf(T.ArrayType(T.StringType()))

@@ -88,6 +88,28 @@ def roc_auc(y: np.ndarray, s: np.ndarray) -> float:
     return (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
 
 
+def pr_auc(y: np.ndarray, s: np.ndarray) -> float:
+    """Average precision (the reference's average_precision_score,
+    models/pairwise_classifier.py:328,342): AP = Σ (R_i − R_{i−1})·P_i
+    over the descending-score sweep, ties handled by grouping equal
+    scores — numpy only."""
+    n_pos = int(y.sum())
+    if n_pos == 0:
+        return 0.0
+    order = np.argsort(-s, kind="mergesort")
+    ys = y[order]
+    ss = s[order]
+    tp = np.cumsum(ys)
+    fp = np.cumsum(1 - ys)
+    # evaluate only at the last index of each tied-score group
+    last = np.r_[ss[1:] != ss[:-1], True]
+    tp, fp = tp[last], fp[last]
+    precision = tp / np.maximum(tp + fp, 1)
+    recall = tp / n_pos
+    prev_r = np.r_[0.0, recall[:-1]]
+    return float(((recall - prev_r) * precision).sum())
+
+
 def f1_optimal_threshold(y: np.ndarray, s: np.ndarray) -> tuple[float, float]:
     """Sweep unique scores, return (threshold, best F1)
     (reference M2, pairwise_classifier.py:239-256)."""
@@ -131,7 +153,7 @@ def train_matcher(
         folds[idx] = np.arange(len(idx)) % n_folds
 
     oof = np.zeros(len(y))
-    fold_aucs = []
+    fold_reports = []
     for k in range(n_folds):
         tr, te = folds != k, folds == k
         if te.sum() == 0 or len(np.unique(y[tr])) < 2:
@@ -139,10 +161,18 @@ def train_matcher(
         w = _fit_logreg(Z[tr], y[tr])
         p = 1.0 / (1.0 + np.exp(-(np.hstack([Z[te], np.ones((te.sum(), 1))]) @ w)))
         oof[te] = p
-        fold_aucs.append(roc_auc(y[te], p))
+        fold_reports.append(
+            {
+                "fold": k + 1,
+                "roc_auc": float(roc_auc(y[te], p)),
+                "pr_auc": float(pr_auc(y[te], p)),
+            }
+        )
 
     thr, oof_f1 = f1_optimal_threshold(y, oof)
     w_full = _fit_logreg(Z, y)
+    # metric names mirror the reference metrics dict
+    # (models/pairwise_classifier.py:345-356); oof_auc kept as an alias
     return TrainedMatcher(
         mean=mean,
         std=std,
@@ -150,9 +180,13 @@ def train_matcher(
         threshold=thr,
         feature_cols=list(cols),
         metrics={
+            "oof_roc_auc": roc_auc(y, oof),
+            "oof_pr_auc": pr_auc(y, oof),
             "oof_auc": roc_auc(y, oof),
             "oof_f1_at_threshold": oof_f1,
-            "fold_aucs": [float(a) for a in fold_aucs],
+            "cv_folds": fold_reports,
+            "fold_aucs": [f["roc_auc"] for f in fold_reports],
+            "pos_frac": float(y.mean()),
             "n_pos": int(y.sum()),
             "n": len(y),
         },

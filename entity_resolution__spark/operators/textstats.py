@@ -87,15 +87,21 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def acronyms_col(text: Column) -> Column:
-    """Acronym detection (reference B10,
-    visualize_k_value_for_blocking.py:33-43): uppercase/digit runs of
-    length ≥2, lowered, deduped. Pure Catalyst."""
-    return F.array_distinct(
-        F.transform(
-            F.regexp_extract_all(text, F.lit(r"\b[A-Z0-9&\-]{2,}\b"), 0),
-            lambda a: F.lower(a),
-        )
+    """Acronym detection — the reference's exact find_acronyms rule
+    (visualize_k_value_for_blocking.py:33-43): find [A-Z0-9&-]{2,} runs
+    (no word anchors — findall on the raw text), strip non-alphanumerics,
+    keep only cleaned forms with length ≥2 that still contain an
+    uppercase letter (isupper() on a digits-only string is False), then
+    lowercase and dedupe. Pure Catalyst."""
+    cleaned = F.transform(
+        F.regexp_extract_all(text, F.lit(r"[A-Z0-9&\-]{2,}"), 0),
+        lambda a: F.regexp_replace(a, r"[^A-Za-z0-9]", ""),
     )
+    kept = F.filter(
+        cleaned,
+        lambda c: (F.length(c) >= 2) & c.rlike("[A-Z]"),
+    )
+    return F.array_distinct(F.transform(kept, lambda c: F.lower(c)))
 
 
 def fingerprint_col(text: Column) -> Column:

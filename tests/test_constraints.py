@@ -41,6 +41,41 @@ def test_extract_countries_batch():
     assert got[4] == []
 
 
+def test_extract_countries_reference_aliases():
+    """All 12 reference alias substitutions (geo_constraints.py:14-27),
+    compiled IGNORECASE, applied in order after undotting."""
+    from entity_resolution__spark.operators.constraints import (
+        _ACRONYM_RES,
+        _COUNTRY_RES,
+        _undot,
+    )
+
+    def one(t):
+        t = _undot(t or "")
+        for pat, repl in _ACRONYM_RES:
+            t = pat.sub(repl, t)
+        return sorted({c for c, cre in _COUNTRY_RES if cre.search(t)})
+
+    cases = {
+        "ROC Chunghwa lab": ["Taiwan"],
+        "P.R.China institute": ["China"],
+        "P. R. China institute": ["China"],
+        "People's Republic of China": ["China"],
+        "the UAE branch": ["United Arab Emirates"],
+        "ETH CH group": ["Switzerland"],
+        "S'pore campus": ["Singapore"],
+        "Singapor university": ["Singapore"],
+        "HongKong office": ["Hong Kong"],
+        "Hong Kong office": ["Hong Kong"],
+        "UK and U.S. teams": ["United Kingdom", "United States"],
+        "usa lowercase works too": ["United States"],  # IGNORECASE subs
+        "Tel Aviv, Israel": ["Israel"],
+        "Athens GR": ["Greece"],
+    }
+    for text, want in cases.items():
+        assert one(text) == want, (text, one(text), want)
+
+
 def test_geo_prune_truth_table(spark):
     countries = spark.createDataFrame(
         [

@@ -100,3 +100,30 @@ def test_fingerprint_normalization_invariant(spark):
     }
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_acronyms_reference_semantics(spark):
+    """Reference find_acronyms rules (visualize_k_value_for_blocking.py:
+    33-43): strip non-alnum from uppercase runs, drop digits-only and
+    len<2 cleaned forms, lowercase, dedupe."""
+    from entity_resolution__spark.operators.textstats import acronyms_col
+
+    df = spark.createDataFrame(
+        [
+            (1, "The NASA and M.I.T. teams used GPU-42 kits"),
+            (2, "priority 4-NOT SPECIFIED at 42 degrees"),
+            (3, "AT&T labs"),
+            (4, "all lowercase text"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: sorted(r["a"])
+        for r in df.select("doc_id", acronyms_col(F.col("text")).alias("a")).collect()
+    }
+    # 'M.I.T.' is dotted → single letters, runs of len<2 per match; 'GPU-42'
+    # cleans to 'gpu42'; '42' alone is digits-only → dropped
+    assert got[1] == ["gpu42", "nasa"]
+    assert got[2] == ["4not", "specified"]
+    assert got[3] == ["att"]
+    assert got[4] == []

@@ -41,10 +41,24 @@ def test_f1_threshold():
     assert f1 == 1.0
 
 
+def test_pr_auc_exact_and_bounds():
+    from entity_resolution__spark.operators.matcher import pr_auc
+
+    # hand-computed AP: hits at ranks 1 and 3 → 0.5·1 + 0.5·(2/3)
+    y = np.array([1.0, 0.0, 1.0, 0.0])
+    s = np.array([0.9, 0.8, 0.7, 0.1])
+    assert abs(pr_auc(y, s) - (0.5 + 1.0 / 3.0)) < 1e-12
+    # perfect ranking → 1.0; no positives → 0.0
+    assert pr_auc(np.array([1.0, 1.0, 0.0]), np.array([0.9, 0.8, 0.1])) == 1.0
+    assert pr_auc(np.zeros(3), np.array([0.9, 0.8, 0.1])) == 0.0
+
+
 def test_train_matcher_separates():
     m = train_matcher(_labeled())
-    assert m.metrics["oof_auc"] > 0.95
+    assert m.metrics["oof_roc_auc"] > 0.95
+    assert m.metrics["oof_pr_auc"] > 0.9  # reference M4 reports both
     assert m.metrics["oof_f1_at_threshold"] > 0.9
+    assert {"roc_auc", "pr_auc"} <= set(m.metrics["cv_folds"][0].keys())
     # deterministic: retrain gives identical weights
     m2 = train_matcher(_labeled())
     assert np.allclose(m.weights, m2.weights)
@@ -121,6 +135,35 @@ def test_blocking_quality_metrics(spark, tiny_transcripts, tiny_transcripts_sdf)
     q = blocking_quality(blocks, labeled, n)
     assert q["pair_completeness"] >= 0.99  # rare-token keys catch dup families
     assert q["reduction_ratio"] > 0.5
+
+
+def test_blocking_quality_sweep(spark, tiny_transcripts, tiny_transcripts_sdf):
+    """B7 k-sweep (reference visualize_k_value_for_blocking.py:109-173):
+    purity metrics are well-formed and behave monotonically — duplicate
+    families make low-k neighbors purer than high-k ones."""
+    from entity_resolution__spark.operators.blocking import (
+        blocking_quality_sweep,
+        rare_token_keys,
+    )
+    from entity_resolution__spark.operators.canonicalize import canonicalize
+    from entity_resolution__spark.operators.pairs import candidate_pairs
+
+    conv = canonicalize(tiny_transcripts_sdf).persist()
+    pairs = candidate_pairs(rare_token_keys(conv))
+    sweep = blocking_quality_sweep(conv, pairs, k_values=(2, 5, 10))
+    assert set(sweep.keys()) == {2, 5, 10}
+    for k, m in sweep.items():
+        assert set(m) == {"overlap_purity", "jaccard_purity", "avg_cosine",
+                          "reduction_ratio"}
+        assert 0.0 <= m["overlap_purity"] <= 1.0
+        assert 0.0 <= m["jaccard_purity"] <= 1.0
+        assert 0.0 <= m["avg_cosine"] <= 1.0
+    # duplicate families are ~2-4 convs: top-2 neighbors are near-pure,
+    # and purity cannot rise as k grows past the family size
+    assert sweep[2]["jaccard_purity"] > 0.5
+    assert sweep[2]["jaccard_purity"] >= sweep[5]["jaccard_purity"] >= sweep[10]["jaccard_purity"]
+    # directed reduction ratio grows toward 1 as k shrinks
+    assert sweep[2]["reduction_ratio"] > sweep[10]["reduction_ratio"]
 
 
 def test_cluster_edges_chain_star(spark):
