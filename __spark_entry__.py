@@ -77,8 +77,13 @@ def q_block_keys(spark, sf):
 
 
 def q_candidate_pairs(spark, sf):
-    d = _t(spark, sf, "documents").select(
-        "doc_id", F.try_element_at(_toks(F.col("text")), F.lit(1)).alias("bk")
+    # materialize the tokenized projection once: both join branches would
+    # otherwise re-run the tokenizer off the same scan (round-1 flag)
+    d = (
+        _t(spark, sf, "documents")
+        .select("doc_id", F.try_element_at(_toks(F.col("text")), F.lit(1)).alias("bk"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .localCheckpoint(eager=True)
     )
     l, r = d.alias("l"), d.alias("r")
     return (
@@ -95,10 +100,15 @@ def q_candidate_pairs(spark, sf):
 def q_pair_token_jaccard(spark, sf):
     from entity_resolution__spark.functions.normalize import jaccard
 
-    d = _t(spark, sf, "documents").select(
-        "doc_id",
-        F.try_element_at(_toks(F.col("text")), F.lit(1)).alias("bk"),
-        F.array_sort(F.array_distinct(_toks(F.col("text")))).alias("ts"),
+    d = (
+        _t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            F.try_element_at(_toks(F.col("text")), F.lit(1)).alias("bk"),
+            F.array_sort(F.array_distinct(_toks(F.col("text")))).alias("ts"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .localCheckpoint(eager=True)  # shared child for both join sides
     )
     l = d.select(F.col("doc_id").alias("id_left"), "bk", F.col("ts").alias("ts_l"))
     r = d.select(F.col("doc_id").alias("id_right"), F.col("bk").alias("bk_r"), F.col("ts").alias("ts_r"))
