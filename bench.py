@@ -136,7 +136,39 @@ def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
     return out
 
 
+def run_er_pipeline_subprocess(master: str, shuffle: int, path: str) -> dict:
+    """Run one ER measurement in a FRESH python+JVM subprocess.
+
+    Reusing one process for several SparkSessions (stop_spark + new
+    master) leaves the old context's Python-accumulator server dead
+    while the new JVM still tries to ack it per task completion
+    ("EOF reached before Python server acknowledged", observed 1500+
+    times per multi-session run). Those failures serialize the
+    single-threaded DAGScheduler event loop — the first session in a
+    process measures fast, every later one crawls 2-5×. This was the
+    round-1 scaling-efficiency artifact. Process isolation removes it."""
+    import subprocess
+
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--er-child",
+         master, str(shuffle), path],
+        capture_output=True, text=True, env=os.environ.copy(),
+        timeout=1800,
+    )
+    for line in (p.stdout or "").splitlines():
+        if line.startswith("ERJSON "):
+            return json.loads(line[len("ERJSON "):])
+    raise RuntimeError(
+        f"er child failed rc={p.returncode}\n{(p.stderr or '')[-2000:]}"
+    )
+
+
 def main() -> None:
+    if len(sys.argv) >= 5 and sys.argv[1] == "--er-child":
+        out = run_er_pipeline(sys.argv[2], int(sys.argv[3]), sys.argv[4])
+        print("ERJSON " + json.dumps(out), flush=True)
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -158,7 +190,7 @@ def main() -> None:
         runs: dict[str, list] = {f"local{n}": [] for n in levels}
         for _ in range(reps):
             for n in levels:
-                runs[f"local{n}"].append(run_er_pipeline(f"local[{n}]", n, sp))
+                runs[f"local{n}"].append(run_er_pipeline_subprocess(f"local[{n}]", n, sp))
         best = {
             n: max(runs[f"local{n}"], key=lambda r: r["turns_per_sec"])
             for n in levels
@@ -214,13 +246,13 @@ def main() -> None:
     stop_spark()
 
     # ER pipeline throughput at the round's CPU budget
-    er = run_er_pipeline(f"local[{cpus}]", cpus, er_path)
+    er = run_er_pipeline_subprocess(f"local[{cpus}]", cpus, er_path)
     results["er_pipeline"] = er["wall_sec"]
 
     extras: dict = {"er": er, "query_load_1m": query_load}
     if scaling:
-        er8 = run_er_pipeline("local[8]", 8, er_path)
-        er32 = run_er_pipeline("local[32]", 32, er_path)
+        er8 = run_er_pipeline_subprocess("local[8]", 8, er_path)
+        er32 = run_er_pipeline_subprocess("local[32]", 32, er_path)
         eff = (er32["turns_per_sec"] / er8["turns_per_sec"]) / 4.0
         extras["scaling"] = {
             "local8": er8,
