@@ -193,6 +193,21 @@ def q_lang_quality(spark, sf):
     )
 
 
+def q_token_counts(spark, sf):
+    """Whitespace + BPE-ish token counts (training-data token budgeting)."""
+    from entity_resolution__spark.operators.textstats import (
+        bpe_ish_count,
+        token_count,
+    )
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
 def q_doc_fingerprint(spark, sf):
     from entity_resolution__spark.operators.textstats import fingerprint_col
 
@@ -233,6 +248,18 @@ def q_knn_join(spark, sf):
     )
     out = knn_join_topk(e.filter(F.col("vec_id") >= 3), q, k=5)
     return out.select("qid", "vec_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+def q_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs (training-data dedup family):
+    deterministic sign-bucket LSH candidates + exact cosine rerank."""
+    from entity_resolution__spark.operators.similarity import (
+        sign_bucket_neardup_pairs,
+    )
+
+    return sign_bucket_neardup_pairs(
+        _t(spark, sf, "embeddings"), n_dims=8, threshold=0.25
+    )
 
 
 def q_pricing_summary(spark, sf):
@@ -372,10 +399,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acronyms": q_acronyms,
         "minhash_buckets": q_minhash_buckets,
         "lang_quality": q_lang_quality,
+        "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "simhash": q_simhash,
         "embedding_topk": q_embedding_topk,
         "knn_join": q_knn_join,
+        "embedding_neardup": q_embedding_neardup,
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
         "window_order_rank": q_window_order_rank,
@@ -554,6 +583,13 @@ def oracle_sql() -> dict[str, str]:
                    round(n_punct::DOUBLE / greatest(chars, 1), 6) AS q_punct_ratio
             FROM hits
         """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens
+            FROM documents
+        """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp
             FROM documents
@@ -587,6 +623,27 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            WITH b AS (
+              SELECT vec_id, embedding,
+                list_aggregate(list_transform(embedding[1:8],
+                  x -> CASE WHEN x > 0 THEN '1' ELSE '0' END),
+                  'string_agg', '') AS bucket
+              FROM embeddings
+            )
+            SELECT l.vec_id AS id_left, r.vec_id AS id_right,
+                   round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))),
+                     6) AS cos_sim
+            FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            -- threshold on the ROUNDED value, same as the Spark filter
+            WHERE round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))),
+                  6) >= 0.25
+            ORDER BY 1, 2
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

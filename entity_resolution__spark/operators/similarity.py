@@ -192,6 +192,44 @@ def lsh_bucket_candidates(
     )
 
 
+def sign_bucket_neardup_pairs(
+    emb: DataFrame,
+    n_dims: int = 8,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via AXIS-ALIGNED sign-bucket LSH:
+    bucket = sign pattern of the first n_dims coordinates; candidates =
+    same-bucket pairs; exact cosine reranks and thresholds.
+
+    The axis-aligned variant of the random-hyperplane LSH above — fully
+    deterministic and expressible in plain SQL, so the DuckDB oracle
+    reproduces the exact candidate set (the hyperplane version's planes
+    live in a numpy closure). Same scale shape: shuffle keyed on bucket,
+    per-bucket volume ~N/2^n_dims, never an all-pairs cross join."""
+    bucket = F.concat_ws(
+        "",
+        F.transform(
+            F.slice(F.col(vec_col), 1, n_dims),
+            lambda x: F.when(x > 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+    b = emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    l, r = b.alias("l"), b.alias("r")
+    cos = F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6)
+    return (
+        l.join(r, "bucket")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_left"),
+            F.col(f"r.{id_col}").alias("id_right"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) variant: k-means-lite centroids → partition scan
 # ---------------------------------------------------------------------------
