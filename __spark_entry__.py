@@ -330,6 +330,43 @@ def q_events_hourly(spark, sf):
     )
 
 
+def q_event_sessions(spark, sf):
+    """Gap-based sessionization (batch analog of the streaming session
+    window in streaming/ingest.py): a new session starts when a user is
+    idle > 30 min; emits per-session bounds and aggregates. Pure window
+    functions — lag + conditional running sum."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # TIMESTAMP_NTZ can't ANSI-cast to long; compare epoch milliseconds
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = ms - F.lag(ms).over(w)
+    sess = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800 * 1000), 1).otherwise(0)
+    ).withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "session_start",
+            "session_end",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_cc_clusters(spark, sf):
     """Connected components over the doc near-dup graph (jaccard ≥ 0.2
     pairs as edges) — non-SQL-expressible iterative op, rows-only check;
@@ -409,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue": q_top_revenue,
         "window_order_rank": q_window_order_rank,
         "events_hourly": q_events_hourly,
+        "event_sessions": q_event_sessions,
         "cc_clusters": q_cc_clusters,
         "cohort_clusters": q_cohort_clusters,
     }
@@ -680,6 +718,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "event_sessions": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM g
+            )
+            SELECT user_id, session_seq::BIGINT AS session_seq,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM s GROUP BY 1, 2
         """,
         # cohort transitivity: per-cohort CC is expressible as a recursive
         # transitive closure (components are tiny near-dup groups, so the
