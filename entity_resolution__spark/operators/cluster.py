@@ -84,8 +84,44 @@ class CCResult:
     fingerprints: list[tuple[int, int]] = field(default_factory=list)
 
 
+def _local_dsu_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find for SMALL edge sets (same output contract
+    as the distributed loop: root = min member). Iterative find with
+    path halving; min-root maintained by always attaching the larger id
+    under the smaller — independently structured from the reference's
+    recursive rank-union DSU (apply_transitivity.py:21-45)."""
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.select("src", "dst").collect():
+        ra, rb = find(row["src"]), find(row["dst"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = [(n, find(n)) for n in parent]
+    spark = edges.sparkSession
+    from pyspark.sql import types as T
+
+    node_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("root", node_type)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, on_iteration=None
+    edges: DataFrame,
+    max_iter: int = 50,
+    on_iteration=None,
+    local_threshold: int = 2_000_000,
 ) -> CCResult:
     """edges(src, dst) → (node, root) where root = min member of component.
 
@@ -94,12 +130,28 @@ def connected_components(
     an optional callback (it, edges_df, fingerprint) used by the
     checkpointing layer to commit per-iteration snapshots (north_rule:
     cluster-iteration resumability).
+
+    Size-adaptive execution, same spirit as Spark choosing broadcast
+    over sort-merge: an edge set under ``local_threshold`` is solved by
+    a driver-side union-find (one pass, one job) instead of paying
+    2 + 2·rounds job barriers of the star loop — at 20k edges the loop
+    is pure fixed overhead (~10 s of scheduling for <1 s of compute).
+    The distributed loop remains the scale path and is FORCED whenever
+    per-iteration snapshots are requested (``on_iteration`` set) or
+    ``local_threshold=0``. Both paths produce identical (node, root)
+    assignments (root = min member); tests assert parity.
     """
-    # Materialize the input edge list FIRST: _symmetric unions the edges
-    # with their reverse, and the two union branches would otherwise
-    # each recompute the full upstream lineage (double-running the
-    # feature UDF stage) before any persist cache is populated.
+    # Materialize the input edge list FIRST (one job): both the local
+    # fast path (count + collect) and the star loop (_symmetric unions
+    # the edges with their reverse — two branches that would otherwise
+    # each recompute the full upstream lineage, double-running the
+    # feature UDF stage) read it more than once.
     edges = edges.localCheckpoint(eager=True)
+    if on_iteration is None and local_threshold > 0:
+        n_edges = edges.limit(local_threshold + 1).count()
+        if n_edges <= local_threshold:
+            assign = _local_dsu_components(edges)
+            return CCResult(assignments=assign, iterations=0, fingerprints=[])
     e = (
         _symmetric(edges)
         .filter(F.col("u") > F.col("v"))  # canonical directed form

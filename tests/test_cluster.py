@@ -14,9 +14,12 @@ from entity_resolution__spark.operators.cluster import (
 from tests.oracle import DSU
 
 
-def _cc_spark(spark, edges, nodes=None):
+def _cc_spark(spark, edges, nodes=None, local_threshold=0):
+    # local_threshold=0 forces the distributed star loop — these tests
+    # exist to validate it; the adaptive local-DSU path has its own
+    # parity test below
     e = spark.createDataFrame(edges, ["src", "dst"])
-    cc = connected_components(e)
+    cc = connected_components(e, local_threshold=local_threshold)
     if nodes is None:
         nodes = sorted({x for p in edges for x in p})
     n = spark.createDataFrame([(x,) for x in nodes], ["node"])
@@ -170,3 +173,23 @@ def test_cohort_seed_edges_selection(spark):
         for r in cohort_seed_edges(scored, countries, min_prob=0.60).collect()
     }
     assert got == {("a", "b", "japan"), ("a", "d", "canada"), ("a", "d", "japan")}
+
+
+def test_local_dsu_path_matches_star_loop(spark):
+    """The size-adaptive driver-side DSU path must produce EXACTLY the
+    same (node, root=min member) assignments as the distributed
+    large-star/small-star loop."""
+    random.seed(7)
+    nodes = [f"v{i:03d}" for i in range(120)]
+    edges = [
+        (random.choice(nodes), random.choice(nodes)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    local = connected_components(e)  # small → local path
+    assert local.iterations == 0
+    dist = connected_components(e, local_threshold=0)  # forced loop
+    assert dist.iterations >= 1
+    lrows = {(r["node"], r["root"]) for r in local.assignments.collect()}
+    drows = {(r["node"], r["root"]) for r in dist.assignments.collect()}
+    assert lrows == drows
