@@ -36,7 +36,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # local mode: the driver heap IS the executor heap; 32 concurrent
+        # tasks over array-heavy payloads GC-thrash a 24g heap (measured:
+        # blocks/pairs stages 5-10x slower at local[32] on 2M-turn input)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "56g"))
         .config("spark.ui.enabled", "false")
         # console progress bar pushes large \r-frames through stderr every
         # 200ms — megabytes per run through a piped/captured stderr, and a
