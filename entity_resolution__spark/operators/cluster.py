@@ -182,6 +182,33 @@ def connected_components(
     return CCResult(assignments=assign, iterations=it, fingerprints=fps)
 
 
+def _dense_ids(
+    distinct_keys: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    local_threshold: int = 1_000_000,
+) -> DataFrame:
+    """distinct key rows → + dense 0..K-1 id in sorted-key order.
+
+    Size-adaptive: K under the threshold is numbered driver-side (one
+    collect, one createDataFrame) — the distributed sort+zipWithIndex
+    path costs 2 extra jobs plus a Python-RDD round trip, pure overhead
+    for dimension-sized K. Above the threshold: distributed sort +
+    zipWithIndex over the K rows only (never a global window — a
+    `row_number() over ()` would serialize on one task)."""
+    spark = distinct_keys.sparkSession
+    keys = distinct_keys.orderBy(*key_cols)
+    schema_str = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in distinct_keys.schema.fields
+    )
+    probe = keys.limit(local_threshold + 1).collect()
+    if len(probe) <= local_threshold:
+        rows = [tuple(r) + (i,) for i, r in enumerate(probe)]
+        return spark.createDataFrame(rows, f"{schema_str}, {id_col} long")
+    indexed = keys.rdd.map(tuple).zipWithIndex().map(lambda t: t[0] + (t[1],))
+    return spark.createDataFrame(indexed, f"{schema_str}, {id_col} long")
+
+
 # separator for cohort-qualified node keys; sorts below every character
 # that can appear in cohort names or node ids, so the concatenated key
 # order equals the (cohort, node) tuple order
@@ -221,16 +248,10 @@ def cohort_transitive_clusters(seed: DataFrame, max_iter: int = 50) -> DataFrame
         F.split_part(F.col("node"), F.lit(_COHORT_SEP), F.lit(2)).alias("node_id"),
         F.split_part(F.col("root"), F.lit(_COHORT_SEP), F.lit(2)).alias("root_node"),
     )
-    roots = (
-        asn.select("cohort", "root_node").distinct().orderBy("cohort", "root_node")
-    )
-    indexed = (
-        roots.rdd.map(lambda r: (r["cohort"], r["root_node"]))
-        .zipWithIndex()
-        .map(lambda t: (t[0][0], t[0][1], t[1]))
-    )
-    root_ids = spark.createDataFrame(
-        indexed, "cohort string, root_node string, cluster_id long"
+    root_ids = _dense_ids(
+        asn.select("cohort", "root_node").distinct(),
+        ["cohort", "root_node"],
+        "cluster_id",
     )
     sizes = asn.groupBy("cohort", "root_node").agg(
         F.count(F.lit(1)).cast("int").alias("cluster_size")
@@ -276,21 +297,15 @@ def assign_clusters(cc: DataFrame, all_nodes: DataFrame) -> DataFrame:
     are dense 0..K-1 in sorted-min-member order; singletons (nodes with
     no edges) become their own clusters.
 
-    Dense renumbering uses a distributed sort + zipWithIndex over the
-    DISTINCT roots (K rows, not N): two passes, no single-partition
-    window bottleneck at scale.
+    Dense renumbering runs over the DISTINCT roots only (K rows, not N)
+    via _dense_ids: driver-side for dimension-sized K, distributed
+    sort + zipWithIndex above the threshold — never a single-partition
+    window.
     """
-    spark = cc.sparkSession
     full = all_nodes.select("node").join(cc, "node", "left").withColumn(
         "root", F.coalesce(F.col("root"), F.col("node"))
     )
-    roots = full.select("root").distinct().orderBy("root")
-    indexed = roots.rdd.map(lambda r: r["root"]).zipWithIndex().map(
-        lambda t: (t[0], t[1])
-    )
-    root_ids = spark.createDataFrame(
-        indexed, "root string, cluster_id long"  # explicit: empty-input safe
-    )
+    root_ids = _dense_ids(full.select("root").distinct(), ["root"], "cluster_id")
     sizes = full.groupBy("root").agg(F.count(F.lit(1)).cast("int").alias("cluster_size"))
     out = (
         full.join(root_ids, "root")
