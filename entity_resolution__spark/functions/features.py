@@ -19,14 +19,29 @@ features are partition-invariant and deterministic under any shuffle.
 Char 3-5-gram cosine uses hashed sublinear TF without IDF (vocabulary-
 free at scale).
 
+Vectorized execution (round-3 rewrite of the round-2 per-row loop):
+the three cosine features are sparse dot products over per-STRING
+count vectors. A pair batch references far fewer distinct strings than
+2×rows (each conversation appears in many candidate pairs), so the
+kernel factorizes the batch's strings once (pd.factorize), builds each
+unique string's token-count and char-ngram-count vectors once (numpy
+unique/sliding-window — no Python dicts), and per pair does only sorted
+intersections + dots. Token lists are DERIVED from norm_text inside the
+kernel (normalization is idempotent, so findall(norm_text) ==
+tokenize(full_text)); the pair shuffle therefore ships neither `tokens`
+nor duplicate token material — only norm_text + the token_set needed by
+the Catalyst jaccard gate.
+
 role_seq_sim / tool_seq_sim extend the family to transcripts
 (north_star: "tool/role sequence features"): normalized indel similarity
-over the per-turn role/tool sequences encoded as unit-separator strings.
+over the per-turn role/tool sequences encoded as unit-separator-joined
+strings (joined once per conversation in the conversations stage, not
+once per pair).
 """
 
 from __future__ import annotations
 
-from collections import Counter
+import re
 
 import numpy as np
 import pandas as pd
@@ -55,99 +70,151 @@ _UDF_RETURN = T.StructType(
     [T.StructField(c, T.DoubleType()) for c in _STRUCT_FIELDS]
 )
 
-
-def _counter_cosine(ca: Counter, cb: Counter) -> float:
-    """Multiset cosine with the reference's zero-norm convention
-    (feautre_extraction.py:63-75: den==0 → 1.0)."""
-    if not ca and not cb:
-        return 1.0
-    dot = sum(v * cb.get(k, 0) for k, v in ca.items())
-    na = np.sqrt(sum(v * v for v in ca.values()))
-    nb = np.sqrt(sum(v * v for v in cb.values()))
-    den = na * nb
-    return 1.0 if den == 0 else float(dot / den)
-
-
-def _tfidf_cosine(ta: list[str], tb: list[str], idf: dict[str, float]) -> float:
-    """Sublinear-TF IDF cosine with a GLOBAL idf map (unseen token idf=1)."""
-    ca, cb = Counter(ta), Counter(tb)
-    if not ca and not cb:
-        return 1.0
-    wa = {k: (1.0 + np.log(v)) * idf.get(k, 1.0) for k, v in ca.items()}
-    wb = {k: (1.0 + np.log(v)) * idf.get(k, 1.0) for k, v in cb.items()}
-    dot = sum(v * wb.get(k, 0.0) for k, v in wa.items())
-    na = np.sqrt(sum(v * v for v in wa.values()))
-    nb = np.sqrt(sum(v * v for v in wb.values()))
-    den = na * nb
-    return 1.0 if den == 0 else float(dot / den)
-
-
-def _char_ngrams(s: str, lo: int = 3, hi: int = 5) -> Counter:
-    c: Counter = Counter()
-    for n in range(lo, hi + 1):
-        for i in range(max(0, len(s) - n + 1)):
-            c[s[i : i + n]] += 1
-    return c
-
+# same token definition as functions.normalize (reference
+# common_methods.py:7-18); applied to ALREADY-normalized text
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 # Character-level kernels (LCS/edit/JW) are O(n·m) per pair: cap input
 # length so per-pair cost is bounded at any scale. Shared constant with
 # the pandas oracle (same truncation both sides → parity holds). The
 # reference computes over full strings, but its entities are ~60-char
 # affiliation strings; conversations are unbounded, so a cap is the
-# scale-correct semantics here.
+# scale-correct semantics here. Char n-grams use the same cap; token
+# vectors use the FULL string (tokens are cheap per unit length).
 MAX_KERNEL_CHARS = 512
+
+_EMPTY_U64 = np.empty(0, dtype=np.uint64)
+_EMPTY_F64 = np.empty(0, dtype=np.float64)
+_EMPTY_TOK = np.empty(0, dtype=object)
+
+
+def _token_profile(s: str, idf: dict[str, float]):
+    """One string → (sorted unique tokens, count weights, tfidf weights,
+    |count|, |tfidf|). Sublinear TF (1+ln tf) × global idf (unseen
+    token idf=1), matching the round-2 Counter kernel exactly."""
+    toks = _TOKEN_RE.findall(s)
+    if not toks:
+        return (_EMPTY_TOK, _EMPTY_F64, _EMPTY_F64, 0.0, 0.0)
+    keys, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    w_tc = cnt.astype(np.float64)
+    w_tf = 1.0 + np.log(w_tc)
+    if idf:
+        w_tf = w_tf * np.fromiter(
+            (idf.get(t, 1.0) for t in keys), dtype=np.float64, count=len(keys)
+        )
+    return (
+        keys,
+        w_tc,
+        w_tf,
+        float(np.sqrt((w_tc * w_tc).sum())),
+        float(np.sqrt((w_tf * w_tf).sum())),
+    )
+
+
+def _ngram_profile(s: str):
+    """One string → (sorted unique char 3-5-gram keys, counts, norm).
+
+    n-grams are packed into uint64 keys instead of substrings: each
+    codepoint is folded to 12 bits ((cp ^ cp>>12) & 0xFFF — identity for
+    codepoints < 4096, i.e. all Latin/Greek/Cyrillic after NFKD), five
+    12-bit digits + a length tag in bits 60-62. Exact (collision-free)
+    for <4096 codepoints; beyond that it is a deterministic hash, shared
+    with the pandas oracle so parity holds regardless."""
+    cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    if len(cps) < 3:
+        return (_EMPTY_U64, _EMPTY_F64, 0.0)
+    folded = ((cps ^ (cps >> np.uint32(12))) & np.uint32(0xFFF)).astype(np.uint64)
+    parts = []
+    for n in (3, 4, 5):
+        if len(folded) >= n:
+            w = np.lib.stride_tricks.sliding_window_view(folded, n)
+            key = w[:, 0].copy()
+            for j in range(1, n):
+                key = key * np.uint64(4096) + w[:, j]
+            key |= np.uint64(n) << np.uint64(60)
+            parts.append(key)
+    keys, cnt = np.unique(np.concatenate(parts), return_counts=True)
+    wt = cnt.astype(np.float64)
+    return (keys, wt, float(np.sqrt((wt * wt).sum())))
+
+
+def _sparse_dot(ka, wa, kb, wb) -> float:
+    """Dot product of two sorted-unique sparse vectors."""
+    _, ia, ib = np.intersect1d(ka, kb, assume_unique=True, return_indices=True)
+    if len(ia) == 0:
+        return 0.0
+    return float((wa[ia] * wb[ib]).sum())
 
 
 def compute_feature_struct(
     norm_l: pd.Series,
     norm_r: pd.Series,
-    tokens_l: pd.Series,
-    tokens_r: pd.Series,
     roles_l: pd.Series,
     roles_r: pd.Series,
     tools_l: pd.Series,
     tools_r: pd.Series,
     idf: dict[str, float] | None = None,
 ) -> pd.DataFrame:
-    """Batch kernel shared by the Spark UDF and the test oracle."""
-    idf = idf or {}
-    norm_l = norm_l.fillna("").str.slice(0, MAX_KERNEL_CHARS)
-    norm_r = norm_r.fillna("").str.slice(0, MAX_KERNEL_CHARS)
-    n = len(norm_l)
-    out = {c: np.empty(n, dtype=np.float64) for c in _STRUCT_FIELDS}
-    out["edit_ratio"] = K.edit_ratio_series(norm_l, norm_r).to_numpy()
-    out["jaro_winkler"] = K.jaro_winkler_series(norm_l, norm_r).to_numpy()
-    out["lcs_ratio"] = K.lcs_ratio_series(norm_l, norm_r).to_numpy()
-    out["dmetaphone_match"] = K.metaphone_match_series(norm_l, norm_r).to_numpy()
+    """Batch kernel shared by the Spark UDF and the test oracle.
 
-    tl = tokens_l.to_numpy()
-    tr = tokens_r.to_numpy()
+    norm_l/r: normalized full text. roles/tools: unit-separator-joined
+    per-turn sequences (strings, one per conversation).
+    Zero-norm convention follows the reference (feautre_extraction.py:
+    63-75): cosine denominator 0 → 1.0.
+    """
+    idf = idf or {}
+    full_l = norm_l.fillna("")
+    full_r = norm_r.fillna("")
+    tl = full_l.str.slice(0, MAX_KERNEL_CHARS)
+    tr = full_r.str.slice(0, MAX_KERNEL_CHARS)
+    n = len(full_l)
+    out = {}
+    out["edit_ratio"] = K.edit_ratio_series(tl, tr).to_numpy()
+    out["jaro_winkler"] = K.jaro_winkler_series(tl, tr).to_numpy()
+    out["lcs_ratio"] = K.lcs_ratio_series(tl, tr).to_numpy()
+    out["dmetaphone_match"] = K.metaphone_match_series(tl, tr).to_numpy()
+
+    # factorize the batch's strings: profiles built once per DISTINCT
+    # string, pairs reference them by code
+    codes, uniques = pd.factorize(
+        pd.concat([full_l, full_r], ignore_index=True), sort=False
+    )
+    tok_prof = [_token_profile(s, idf) for s in uniques]
+    ng_prof = [_ngram_profile(s[:MAX_KERNEL_CHARS]) for s in uniques]
+    il, ir = codes[:n], codes[n:]
+
     tc = np.empty(n)
     twc = np.empty(n)
     chc = np.empty(n)
-    nl = norm_l.fillna("").to_numpy()
-    nr = norm_r.fillna("").to_numpy()
     for i in range(n):
-        a = list(tl[i]) if tl[i] is not None else []
-        b = list(tr[i]) if tr[i] is not None else []
-        tc[i] = _counter_cosine(Counter(a), Counter(b))
-        twc[i] = _tfidf_cosine(a, b, idf)
-        chc[i] = _counter_cosine(_char_ngrams(nl[i]), _char_ngrams(nr[i]))
+        ka, wca, wfa, nca, nfa = tok_prof[il[i]]
+        kb, wcb, wfb, ncb, nfb = tok_prof[ir[i]]
+        if nca == 0.0 or ncb == 0.0:
+            tc[i] = 1.0
+            twc[i] = 1.0
+        else:
+            _, ia, ib = np.intersect1d(
+                ka, kb, assume_unique=True, return_indices=True
+            )
+            tc[i] = float((wca[ia] * wcb[ib]).sum()) / (nca * ncb)
+            twc[i] = float((wfa[ia] * wfb[ib]).sum()) / (nfa * nfb)
+        ga, wga, na = ng_prof[il[i]]
+        gb, wgb, nb = ng_prof[ir[i]]
+        den = na * nb
+        chc[i] = 1.0 if den == 0.0 else _sparse_dot(ga, wga, gb, wgb) / den
     out["token_cosine"] = tc
     out["tfidf_word_cosine"] = twc
     out["tfidf_char_cosine"] = chc
 
-    def seq_sim(sl: pd.Series, sr: pd.Series) -> np.ndarray:
-        ja = sl.map(lambda x: "\x1f".join(x) if x is not None else "")
-        jb = sr.map(lambda x: "\x1f".join(x) if x is not None else "")
-        # indel ratio over the joined sequence treats each element char-wise;
-        # sequences are short (≤ dozens of turns) so this is cheap and
-        # order-sensitive, which is the point (tool/role ORDER matters).
-        return K.edit_ratio_series(ja, jb).to_numpy()
-
-    out["role_seq_sim"] = seq_sim(roles_l, roles_r)
-    out["tool_seq_sim"] = seq_sim(tools_l, tools_r)
+    # indel ratio over the joined sequence treats each element char-wise;
+    # sequences are short (≤ dozens of turns) so this is cheap and
+    # order-sensitive, which is the point (tool/role ORDER matters)
+    out["role_seq_sim"] = K.edit_ratio_series(
+        roles_l.fillna(""), roles_r.fillna("")
+    ).to_numpy()
+    out["tool_seq_sim"] = K.edit_ratio_series(
+        tools_l.fillna(""), tools_r.fillna("")
+    ).to_numpy()
     return pd.DataFrame(out)
 
 
@@ -158,15 +225,13 @@ def make_feature_udf(idf_map: dict[str, float] | None = None):
     def feature_struct(
         norm_l: pd.Series,
         norm_r: pd.Series,
-        tokens_l: pd.Series,
-        tokens_r: pd.Series,
         roles_l: pd.Series,
         roles_r: pd.Series,
         tools_l: pd.Series,
         tools_r: pd.Series,
     ) -> pd.DataFrame:
         return compute_feature_struct(
-            norm_l, norm_r, tokens_l, tokens_r, roles_l, roles_r, tools_l, tools_r, idf
+            norm_l, norm_r, roles_l, roles_r, tools_l, tools_r, idf
         )
 
     return feature_struct

@@ -11,6 +11,9 @@ operators/blocking.py; this module favors oracle-checkable portability.
 
 from __future__ import annotations
 
+import hashlib
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -19,6 +22,36 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from entity_resolution__spark.operators.textstats import tokens_col
+
+
+def lsh_scheme(
+    threshold: float,
+    recall: float = 0.95,
+    max_hashes: int = 16,
+    hard_cap: int = 32,
+) -> tuple[int, int]:
+    """(n_bands, band_size) for MinHash-LSH tuned to a Jaccard threshold.
+
+    Picks the LARGEST band_size r (steepest S-curve → fewest false
+    candidates) whose band count b = ceil(ln(1-recall)/ln(1-t^r)) still
+    achieves `recall` at J = t within `max_hashes` total hashes. Low
+    thresholds force r=1 (any-shared-minhash candidates); if even r=1
+    cannot hit the recall target within `hard_cap` hashes, the band
+    count is capped and the effective recall floor is 1-(1-t)^hard_cap.
+
+    Round-2 shipped a fixed 4×2 scheme tuned for t≈0.9; callers at
+    t=0.2 got ~15% recall (ADVICE round 2). This makes the banding
+    follow the requested threshold: t=0.9 → (3 bands of 4), t=0.8 →
+    (5 of 3), t=0.2 → (14 of 1).
+    """
+    t = min(max(threshold, 0.01), 0.99)
+    for r in range(8, 0, -1):
+        p = t**r
+        b = math.ceil(math.log(1.0 - recall) / math.log(1.0 - p))
+        if r * b <= max_hashes:
+            return b, r
+    b = math.ceil(math.log(1.0 - recall) / math.log(1.0 - t))
+    return min(b, hard_cap), 1
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -51,9 +51,12 @@ def featurize_pairs(
     idf_map: dict[str, float] | None = None,
     min_token_jaccard: float = 0.15,
 ) -> DataFrame:
-    """Pairs joined with payload cols (full_text/tokens/roles/tools _l/_r)
-    → + the 10 feature columns. token_jaccard stays in Catalyst; the rest
-    is one Arrow-batched struct UDF call (one Python round-trip per batch).
+    """Pairs joined with payload cols (norm_text/token_set/roles_seq/
+    tools_seq ×_l/_r) → + the 10 feature columns. token_jaccard stays in
+    Catalyst; the rest is one Arrow-batched struct UDF call (one Python
+    round-trip per batch). Token-count vectors are derived from
+    norm_text inside the kernel, so the payload ships no `tokens` column
+    (shuffle bytes were the 8→32 scaling limiter at 537k turns).
 
     min_token_jaccard is the C4 token-overlap prune of the reference
     (token_overlap_constraint.py:26 prunes < 0.20) applied BEFORE the
@@ -80,12 +83,10 @@ def featurize_pairs(
         feat(
             F.col("norm_text_l"),
             F.col("norm_text_r"),
-            F.col("tokens_l"),
-            F.col("tokens_r"),
-            F.col("roles_l"),
-            F.col("roles_r"),
-            F.col("tools_l"),
-            F.col("tools_r"),
+            F.col("roles_seq_l"),
+            F.col("roles_seq_r"),
+            F.col("tools_seq_l"),
+            F.col("tools_seq_r"),
         ),
     )
     for c in FEATURE_COLS:

@@ -235,10 +235,23 @@ def run_pipeline(
     idf_map = global_idf(conv, n_docs=n_docs) if cfg.use_global_idf else None
 
     def compute_scored() -> DataFrame:
+        # slim payload: the feature kernel derives token vectors from
+        # norm_text and takes role/tool sequences as pre-joined strings,
+        # so neither `tokens` nor the raw arrays ship through the pair
+        # shuffle (3 exchanges carry this payload; bytes were the 8→32
+        # scaling limiter at 537k turns). token_set stays for the
+        # Catalyst jaccard pre-gate.
+        payload_src = conv.select(
+            "conv_id",
+            "norm_text",
+            "token_set",
+            F.array_join("roles", "\x1f").alias("roles_seq"),
+            F.array_join("tools", "\x1f").alias("tools_seq"),
+        )
         payload = attach_pair_payload(
             pairs,
-            conv,
-            ["norm_text", "tokens", "token_set", "roles", "tools"],
+            payload_src,
+            ["norm_text", "token_set", "roles_seq", "tools_seq"],
         )
         # the feature UDF is CPU-bound with small bytes/row: AQE's
         # size-based coalescing would shrink this stage to a handful of

@@ -82,11 +82,14 @@ def score_pairs_pd(
     c = conv.set_index("conv_id")
     a = c.loc[pairs["conv_id_a"]].reset_index(drop=True)
     b = c.loc[pairs["conv_id_b"]].reset_index(drop=True)
+
+    def j(series: pd.Series) -> pd.Series:
+        return series.map(lambda x: "\x1f".join(x) if x is not None else "")
+
     feats = compute_feature_struct(
         a["norm_text"], b["norm_text"],
-        a["tokens"], b["tokens"],
-        a["roles"], b["roles"],
-        a["tools"], b["tools"],
+        j(a["roles"]), j(b["roles"]),
+        j(a["tools"]), j(b["tools"]),
         idf or {},
     )
     # token_jaccard with the reference's empty conventions
