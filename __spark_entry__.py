@@ -140,12 +140,33 @@ def q_minhash_signature(spark, sf):
     )
 
 
-def q_ngram_neardup_pairs(spark, sf):
-    from entity_resolution__spark.operators.dedup import ngram_jaccard_pairs
+# Shared near-dup candidate stage (round-2 VERDICT #4): ngram_neardup_
+# pairs, cc_clusters and cohort_clusters all consume the identical
+# (n, threshold) pair table over `documents`; each used to re-run the
+# full shingle→minhash→band→join pass (~3× the cost at bench scale).
+# Stage it once per (session, sf_dir, n, threshold) — localCheckpoint is
+# the local analog of a staged table (plans.checkpoint.StageStore on a
+# cluster).
+_NEARDUP_CACHE: dict = {}
 
-    return ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), n=3, threshold=0.2
-    )
+
+def _neardup_pairs(spark, sf, n=3, threshold=0.2):
+    sid = id(spark)
+    if _NEARDUP_CACHE.get("_session") != sid:
+        _NEARDUP_CACHE.clear()
+        _NEARDUP_CACHE["_session"] = sid
+    key = (sf, n, threshold)
+    if key not in _NEARDUP_CACHE:
+        from entity_resolution__spark.operators.dedup import ngram_jaccard_pairs
+
+        _NEARDUP_CACHE[key] = ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), n=n, threshold=threshold
+        ).localCheckpoint(eager=True)
+    return _NEARDUP_CACHE[key]
+
+
+def q_ngram_neardup_pairs(spark, sf):
+    return _neardup_pairs(spark, sf, n=3, threshold=0.2)
 
 
 def q_acronyms(spark, sf):
@@ -217,14 +238,16 @@ def q_doc_fingerprint(spark, sf):
 
 
 def q_simhash(spark, sf):
-    # rows-only check: xxhash64 has no DuckDB equivalent
-    from entity_resolution__spark.operators.dedup import simhash64
+    """md5-based 64-bit SimHash as 16-char hex (round 3: the hash basis
+    moved from pandas-siphash to md5 so the DuckDB oracle can recompute
+    it per-hex-digit — closes the round-2 rows-only gap)."""
+    from entity_resolution__spark.operators.dedup import simhash_hex
     from entity_resolution__spark.operators.textstats import tokens_col
 
     d = _t(spark, sf, "documents")
     # heavy per-row expression: spread a small single-file scan across cores
     return d.repartition(spark.sparkContext.defaultParallelism).select(
-        "doc_id", simhash64(tokens_col(F.col("text"))).alias("simhash")
+        "doc_id", simhash_hex(tokens_col(F.col("text"))).alias("simhash")
     )
 
 
@@ -369,16 +392,17 @@ def q_event_sessions(spark, sf):
 
 def q_cc_clusters(spark, sf):
     """Connected components over the doc near-dup graph (jaccard ≥ 0.2
-    pairs as edges) — non-SQL-expressible iterative op, rows-only check;
-    correctness is covered by tests/test_cluster.py vs a DSU oracle."""
+    pairs as edges). Round 3: value-checked against a recursive-CTE
+    transitive-closure oracle (components are near-dup-sized, so the
+    closure stays small); also covered by tests/test_cluster.py vs a
+    DSU oracle. Consumes the shared staged near-dup pair table."""
     from entity_resolution__spark.operators.cluster import (
         assign_clusters,
         connected_components,
     )
-    from entity_resolution__spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
-    edges = ngram_jaccard_pairs(d, n=3, threshold=0.2).select(
+    edges = _neardup_pairs(spark, sf, n=3, threshold=0.2).select(
         F.col("id_left").cast("string").alias("src"),
         F.col("id_right").cast("string").alias("dst"),
     )
@@ -400,11 +424,10 @@ def q_cohort_clusters(spark, sf):
     pipeline.run_cohort_transitivity). Per-cohort union-find, then one
     global dense renumber over sorted (cohort, min member)."""
     from entity_resolution__spark.operators.cluster import cohort_transitive_clusters
-    from entity_resolution__spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
     meta = d.select(F.col("doc_id"), F.col("lang"))
-    edges = ngram_jaccard_pairs(d, n=3, threshold=0.2)
+    edges = _neardup_pairs(spark, sf, n=3, threshold=0.2)
     ml = meta.select(F.col("doc_id").alias("id_left"), F.col("lang").alias("lang_l"))
     mr = meta.select(F.col("doc_id").alias("id_right"), F.col("lang").alias("lang_r"))
     seed = (
@@ -458,7 +481,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+
+def _shingle_edges_cte(threshold: float = 0.2, n: int = 3) -> str:
+    """WITH-clause body (d … edges) reproducing ngram_jaccard_pairs'
+    ADAPTIVE MinHash-LSH candidate scheme in DuckDB (same lsh_scheme as
+    the Spark operator — round 2's oracle hard-coded the 4×2 bands, so
+    scheme changes silently desynced; now both sides derive it from the
+    threshold). edges = (id_left, id_right, jaccard ≥ threshold)."""
+    from entity_resolution__spark.operators.dedup import lsh_scheme
+
+    n_bands, band_size = lsh_scheme(threshold)
+    n_hashes = n_bands * band_size
+    mh = ",\n                ".join(
+        f"list_min(list_transform(sh, t -> md5('{s}:' || t))) AS mh_{s}"
+        for s in range(n_hashes)
+    )
+    band_rows = []
+    for b in range(n_bands):
+        parts = [f"mh_{s}" for s in range(b * band_size, (b + 1) * band_size)]
+        expr = parts[0] if len(parts) == 1 else "concat(" + ", '|', ".join(parts) + ")"
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig"
+        )
+    bands = "\n              UNION ALL\n              ".join(band_rows)
+    w = n - 1
+    jac = (
+        "round(len(list_intersect(a.sh, b.sh))::DOUBLE"
+        " / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE, 6)"
+    )
+    return f"""d AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= {n} THEN
+                       list_distinct(list_transform(
+                         range(1, len(toks) - {w} + 1),
+                         i -> array_to_string(toks[i:i+{w}], ' ')
+                       ))
+                     ELSE [] END AS sh
+              FROM d
+            ), shf AS (
+              SELECT * FROM sh WHERE len(sh) > 0
+            ), sig AS (
+              SELECT doc_id,
+                {mh}
+              FROM shf
+            ), bands AS (
+              {bands}
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bucket = r.bucket
+               AND l.doc_id < r.doc_id
+            ), edges AS (
+              SELECT id_left, id_right, {jac} AS jaccard
+              FROM cand
+              JOIN shf a ON a.doc_id = id_left
+              JOIN shf b ON b.doc_id = id_right
+              WHERE {jac} >= {threshold}
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
+    shingle_cte = _shingle_edges_cte(threshold=0.2, n=3)
     return {
         "tokenize_stats": f"""
             SELECT doc_id,
@@ -504,57 +589,13 @@ def oracle_sql() -> dict[str, str]:
                    list_min(list_transform(list_distinct({_TOKS}), t -> md5('3:' || t))) AS mh_3
             FROM documents
         """,
-        # candidates = MinHash-LSH bands over the shingle sets (8 md5
-        # minhashes, 4 bands of 2) — deterministic, so the oracle
+        # candidates = MinHash-LSH bands over the shingle sets; band
+        # scheme derived from the threshold by the SAME lsh_scheme the
+        # Spark operator uses — deterministic (md5), so the oracle
         # reproduces the exact candidate set the Spark plan joins
         "ngram_neardup_pairs": f"""
-            WITH d AS (
-              SELECT doc_id, {_TOKS} AS toks FROM documents
-            ), sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(toks) >= 3 THEN
-                       list_distinct(list_transform(
-                         range(1, len(toks) - 2 + 1),
-                         i -> array_to_string(toks[i:i+2], ' ')
-                       ))
-                     ELSE [] END AS sh
-              FROM d
-            ), shf AS (
-              SELECT * FROM sh WHERE len(sh) > 0
-            ), sig AS (
-              SELECT doc_id,
-                list_min(list_transform(sh, t -> md5('0:' || t))) AS mh_0,
-                list_min(list_transform(sh, t -> md5('1:' || t))) AS mh_1,
-                list_min(list_transform(sh, t -> md5('2:' || t))) AS mh_2,
-                list_min(list_transform(sh, t -> md5('3:' || t))) AS mh_3,
-                list_min(list_transform(sh, t -> md5('4:' || t))) AS mh_4,
-                list_min(list_transform(sh, t -> md5('5:' || t))) AS mh_5,
-                list_min(list_transform(sh, t -> md5('6:' || t))) AS mh_6,
-                list_min(list_transform(sh, t -> md5('7:' || t))) AS mh_7
-              FROM shf
-            ), bands AS (
-              SELECT doc_id, 0 AS band, md5(concat(mh_0, '|', mh_1)) AS bucket FROM sig
-              UNION ALL
-              SELECT doc_id, 1 AS band, md5(concat(mh_2, '|', mh_3)) AS bucket FROM sig
-              UNION ALL
-              SELECT doc_id, 2 AS band, md5(concat(mh_4, '|', mh_5)) AS bucket FROM sig
-              UNION ALL
-              SELECT doc_id, 3 AS band, md5(concat(mh_6, '|', mh_7)) AS bucket FROM sig
-            ), cand AS (
-              SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right
-              FROM bands l JOIN bands r
-                ON l.band = r.band AND l.bucket = r.bucket
-               AND l.doc_id < r.doc_id
-            )
-            SELECT id_left, id_right,
-                   round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                         / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE,
-                         6) AS jaccard
-            FROM cand
-            JOIN shf a ON a.doc_id = id_left
-            JOIN shf b ON b.doc_id = id_right
-            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-                  / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.2
+            WITH {shingle_cte}
+            SELECT id_left, id_right, jaccard FROM edges
         """,
         "acronyms": r"""
             WITH corpus AS (
@@ -741,51 +782,7 @@ def oracle_sql() -> dict[str, str]:
         # closure stays linear-ish); renumber = row_number over sorted
         # (cohort, min member) — same rule as the Spark operator
         "cohort_clusters": f"""
-            WITH RECURSIVE d AS (
-              SELECT doc_id, {_TOKS} AS toks FROM documents
-            ), sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(toks) >= 3 THEN
-                       list_distinct(list_transform(
-                         range(1, len(toks) - 2 + 1),
-                         i -> array_to_string(toks[i:i+2], ' ')
-                       ))
-                     ELSE [] END AS sh
-              FROM d
-            ), shf AS (
-              SELECT * FROM sh WHERE len(sh) > 0
-            ), sig AS (
-              SELECT doc_id,
-                list_min(list_transform(sh, t -> md5('0:' || t))) AS mh_0,
-                list_min(list_transform(sh, t -> md5('1:' || t))) AS mh_1,
-                list_min(list_transform(sh, t -> md5('2:' || t))) AS mh_2,
-                list_min(list_transform(sh, t -> md5('3:' || t))) AS mh_3,
-                list_min(list_transform(sh, t -> md5('4:' || t))) AS mh_4,
-                list_min(list_transform(sh, t -> md5('5:' || t))) AS mh_5,
-                list_min(list_transform(sh, t -> md5('6:' || t))) AS mh_6,
-                list_min(list_transform(sh, t -> md5('7:' || t))) AS mh_7
-              FROM shf
-            ), bands AS (
-              SELECT doc_id, 0 AS band, md5(concat(mh_0, '|', mh_1)) AS bucket FROM sig
-              UNION ALL
-              SELECT doc_id, 1 AS band, md5(concat(mh_2, '|', mh_3)) AS bucket FROM sig
-              UNION ALL
-              SELECT doc_id, 2 AS band, md5(concat(mh_4, '|', mh_5)) AS bucket FROM sig
-              UNION ALL
-              SELECT doc_id, 3 AS band, md5(concat(mh_6, '|', mh_7)) AS bucket FROM sig
-            ), cand AS (
-              SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right
-              FROM bands l JOIN bands r
-                ON l.band = r.band AND l.bucket = r.bucket
-               AND l.doc_id < r.doc_id
-            ), edges AS (
-              SELECT id_left, id_right
-              FROM cand
-              JOIN shf a ON a.doc_id = id_left
-              JOIN shf b ON b.doc_id = id_right
-              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-                    / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.2
-            ), seed AS (
+            WITH RECURSIVE {shingle_cte}, seed AS (
               SELECT ml.lang AS cohort,
                      e.id_left::VARCHAR AS u, e.id_right::VARCHAR AS v
               FROM edges e
@@ -817,6 +814,72 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY i.cluster_id) AS cluster_size
             FROM roots r JOIN ids i ON i.cohort = r.cohort AND i.root = r.root
         """,
-        # simhash, cc_clusters: intentionally no oracle (xxhash64 /
-        # iterative fixpoint not expressible in DuckDB) → rows-only check.
+        # cc_clusters (round 3; was rows-only): transitive closure over
+        # the near-dup edges via recursive CTE — components are near-dup-
+        # sized so the closure stays linear-ish; singletons via LEFT JOIN
+        # from all documents; dense ids by sorted min-member root (same
+        # rule as assign_clusters/_dense_ids)
+        "cc_clusters": f"""
+            WITH RECURSIVE {shingle_cte}, sym AS (
+              SELECT id_left::VARCHAR AS u, id_right::VARCHAR AS v FROM edges
+              UNION
+              SELECT id_right::VARCHAR AS u, id_left::VARCHAR AS v FROM edges
+            ), reach (a, b) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+            ), allnodes AS (
+              SELECT doc_id::VARCHAR AS node FROM documents
+            ), roots AS (
+              SELECT n.node, least(n.node, coalesce(min(r.b), n.node)) AS root
+              FROM allnodes n LEFT JOIN reach r ON r.a = n.node
+              GROUP BY n.node
+            ), ids AS (
+              SELECT root, row_number() OVER (ORDER BY root) - 1 AS cluster_id
+              FROM (SELECT DISTINCT root FROM roots)
+            )
+            SELECT r.node AS doc_id, i.cluster_id,
+                   count(*) OVER (PARTITION BY i.cluster_id) AS cluster_size
+            FROM roots r JOIN ids i USING (root)
+        """,
+        # simhash (round 3; was rows-only): md5-based bit-majority vote
+        # reproduced per hex digit — each md5 hex char carries 4 simhash
+        # bits, so per-(doc, char) conditional sums + a majority nibble
+        # reassemble the exact 16-char hex the numpy kernel packs
+        "simhash": f"""
+            WITH t AS (
+              SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+            ), nn AS (
+              SELECT doc_id, len(toks) AS n_tok FROM t
+            ), u AS (
+              SELECT doc_id, unnest(toks) AS tok FROM t
+            ), hx AS (
+              SELECT doc_id, substring(md5(tok), 1, 16) AS h FROM u
+            ), ch AS (
+              SELECT doc_id, i,
+                     strpos('0123456789abcdef', substring(h, i, 1)) - 1 AS hv
+              FROM hx CROSS JOIN (SELECT unnest(range(1, 17)) AS i) idx
+            ), votes AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN hv & 1 > 0 THEN 1 ELSE 0 END) AS c0,
+                     sum(CASE WHEN hv & 2 > 0 THEN 1 ELSE 0 END) AS c1,
+                     sum(CASE WHEN hv & 4 > 0 THEN 1 ELSE 0 END) AS c2,
+                     sum(CASE WHEN hv & 8 > 0 THEN 1 ELSE 0 END) AS c3
+              FROM ch GROUP BY 1, 2
+            ), nib AS (
+              SELECT v.doc_id, v.i,
+                     (CASE WHEN 2 * c0 >= n_tok THEN 1 ELSE 0 END
+                    + CASE WHEN 2 * c1 >= n_tok THEN 2 ELSE 0 END
+                    + CASE WHEN 2 * c2 >= n_tok THEN 4 ELSE 0 END
+                    + CASE WHEN 2 * c3 >= n_tok THEN 8 ELSE 0 END) AS val
+              FROM votes v JOIN nn USING (doc_id)
+            ), s AS (
+              SELECT doc_id,
+                     string_agg(substring('0123456789abcdef', val + 1, 1),
+                                '' ORDER BY i) AS simhash
+              FROM nib GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(s.simhash, '0000000000000000') AS simhash
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """,
     }

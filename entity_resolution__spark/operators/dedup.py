@@ -114,10 +114,15 @@ def _simhash64_kernel(tokens: pd.Series) -> pd.Series:
     Round-1 shipped this as a 64-expression-wide Catalyst aggregate —
     correct but the wrong execution tier for a bit-twiddling kernel
     (48.8 s for 5k docs at sf0.1). Here: hash each batch's UNIQUE tokens
-    once (pd.util.hash_array — fixed-key siphash, deterministic across
-    workers and immune to PYTHONHASHSEED), unpack to a (U, 64) bit
-    matrix, scatter-add per-row votes, take the majority, pack. Empty
-    token lists hash to 0.
+    once, unpack to a (U, 64) bit matrix, scatter-add per-row votes, take
+    the majority, pack. Empty token lists hash to 0.
+
+    The token hash is the FIRST 64 BITS OF md5 (round 3; was pandas'
+    siphash): md5 exists in every engine, so the DuckDB oracle can
+    recompute the identical simhash per document (per-hex-digit majority
+    votes) and the driver's correctness gate becomes a value check
+    instead of rows-only. The per-unique-token hashlib loop is bounded
+    by batch vocabulary, not row count.
     """
     n = len(tokens)
     counts = np.zeros(n, dtype=np.int64)
@@ -134,11 +139,19 @@ def _simhash64_kernel(tokens: pd.Series) -> pd.Series:
         return pd.Series(np.zeros(n, dtype=np.int64))
     rows = np.concatenate(row_ids)
     uniq, codes = np.unique(np.concatenate(row_toks), return_inverse=True)
-    hv = pd.util.hash_array(uniq)  # uint64 per unique token
-    # (U, 64) bit matrix; bit order is an arbitrary fixed permutation —
-    # irrelevant for simhash as long as it is consistent
-    bits = np.unpackbits(
-        hv.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    hv = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    # (U, 64) bit matrix, bit b = (hash >> b) & 1 — so hex(packed) char i
+    # is the per-nibble majority of hex(md5)[i], the form the SQL oracle
+    # reproduces digit by digit
+    bits = (
+        (hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     ).astype(np.int64)
     votes = np.zeros((n, 64), dtype=np.int64)
     np.add.at(votes, rows, bits[codes])
@@ -154,6 +167,13 @@ def simhash64(tokens: Column) -> Column:
     Arrow-batched numpy kernel (see _simhash64_kernel); near-dup
     candidates = equal band slices of the returned long."""
     return _simhash64_kernel(tokens)
+
+
+def simhash_hex(tokens: Column) -> Column:
+    """simhash64 rendered as a 16-char lowercase hex string — the
+    engine-portable form (two's-complement hex matches the oracle's
+    per-digit majority assembly; no bigint sign pitfalls)."""
+    return F.lower(F.lpad(F.hex(_simhash64_kernel(tokens)), 16, "0"))
 
 
 def ngram_shingles(text: Column, n: int = 3) -> Column:
@@ -183,24 +203,30 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_hashes: int = 8,
-    band_size: int = 2,
+    n_hashes: int | None = None,
+    band_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-n-gram Jaccard ≥ threshold.
 
-    Candidate pairs come from MinHash-LSH bands over the SHINGLE sets
-    (n_hashes md5-minhashes split into n_hashes/band_size bands): two
-    docs are compared iff they agree on ≥1 band. Deterministic (md5), so
-    the DuckDB oracle reproduces the exact candidate set; at J≥0.9 —
-    where near-dup dedup operates — 4 bands of 2 give ≥0.998 recall
-    while random pairs (J≈0.003 on shingles) collide with P≈1e-5/band,
-    so candidate volume is ~linear in the true-duplicate count instead
-    of the hot-block quadratic blowup of first-token blocking (round-1
-    flag: 25.6 s → the shingle join now sees only real candidates).
+    Candidate pairs come from MinHash-LSH bands over the SHINGLE sets:
+    two docs are compared iff they agree on ≥1 band. The band scheme is
+    DERIVED FROM THE THRESHOLD via lsh_scheme (≥95% recall at J =
+    threshold): t=0.8 → 5 bands of 3, t=0.2 → 14 bands of 1. Round 2's
+    fixed 4×2 scheme gave ~15% recall to t=0.2 callers (ADVICE round 2).
+    Explicit n_hashes/band_size still override for callers that pin a
+    scheme. Deterministic (md5), so the DuckDB oracle reproduces the
+    exact candidate set; random pairs (J≈0.003 on shingles) collide with
+    ~b·t_shingle^r probability, so candidate volume stays ~linear in the
+    true near-dup count instead of the hot-block quadratic blowup of
+    first-token blocking (round-1 flag).
 
     `block` overrides with key-equality blocking (exact recall within a
     key; used by tests that assert low-J pairs deterministically).
     """
+    if band_size is None or n_hashes is None:
+        bands_n, rows_n = lsh_scheme(threshold)
+        band_size = rows_n if band_size is None else band_size
+        n_hashes = bands_n * band_size if n_hashes is None else n_hashes
     base = df.select(
         F.col(id_col).alias("id"),
         ngram_shingles(F.col(text_col), n).alias("sh"),

@@ -61,13 +61,62 @@ def test_ngram_jaccard_pairs(spark):
     # default MinHash-LSH blocking: identical docs share every band
     out = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.99).collect()
     assert {(r["id_left"], r["id_right"]) for r in out} == {(1, 2)}
-    # low-J pairs (J≈0.29 here) are below the LSH operating point, so the
-    # deterministic key-blocked path asserts them: exact recall per key
+    # round 3: the band scheme adapts to the threshold (14 bands of 1 at
+    # t=0.2), so the LSH path itself now recovers the J≈0.29 pair that
+    # round 2's fixed 4×2 scheme caught with only ~15% probability
+    loose_lsh = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.2).collect()
+    assert (1, 3) in {(r["id_left"], r["id_right"]) for r in loose_lsh}
+    # key-blocked path: exact recall per key, independent of LSH
     first_tok = F.try_element_at(tokens_col(F.col("text")), F.lit(1))
     loose = ngram_jaccard_pairs(
         _docs(spark), block=first_tok, n=3, threshold=0.2
     ).collect()
     assert (1, 3) in {(r["id_left"], r["id_right"]) for r in loose}
+
+
+def test_lsh_scheme_tracks_threshold():
+    """(bands, rows) follow the S-curve: ≥95% recall at J=threshold
+    within the hash budget, steepest band that fits (ADVICE round 2)."""
+    from entity_resolution__spark.operators.dedup import lsh_scheme
+
+    for t in (0.05, 0.2, 0.5, 0.8, 0.9, 0.99):
+        b, r = lsh_scheme(t)
+        assert 1 <= r <= 8 and b >= 1
+        recall = 1.0 - (1.0 - min(t, 0.99) ** r) ** b
+        if b * r <= 16:  # within budget the target must be met
+            assert recall >= 0.95, (t, b, r, recall)
+    assert lsh_scheme(0.2) == (14, 1)
+    assert lsh_scheme(0.9) == (3, 4)
+    # very low thresholds cap the band count (documented recall floor)
+    b, r = lsh_scheme(0.05)
+    assert r == 1 and b <= 32
+
+
+def test_simhash_hex_matches_long(spark):
+    """simhash_hex is exactly the zero-padded two's-complement hex of
+    simhash64 (the engine-portable rendering the DuckDB oracle checks)."""
+    from entity_resolution__spark.operators.dedup import simhash64, simhash_hex
+    from entity_resolution__spark.operators.textstats import tokens_col
+
+    rows = _docs(spark).select(
+        simhash64(tokens_col(F.col("text"))).alias("sh"),
+        simhash_hex(tokens_col(F.col("text"))).alias("hx"),
+    ).collect()
+    for r in rows:
+        assert r["hx"] == f"{r['sh'] & ((1 << 64) - 1):016x}"
+
+
+def test_simhash_md5_basis(spark):
+    """A single-token doc's simhash equals the first 64 bits of that
+    token's md5 — pins the hash basis the SQL oracle reproduces."""
+    import hashlib
+
+    from entity_resolution__spark.operators.dedup import simhash_hex
+    from entity_resolution__spark.operators.textstats import tokens_col
+
+    df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    hx = df.select(simhash_hex(tokens_col(F.col("text"))).alias("h")).collect()[0]["h"]
+    assert hx == hashlib.md5(b"hello").hexdigest()[:16]
 
 
 def test_lang_id_and_quality(spark):
