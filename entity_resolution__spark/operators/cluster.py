@@ -121,7 +121,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     on_iteration=None,
-    local_threshold: int = 2_000_000,
+    local_threshold: int = 500_000,
 ) -> CCResult:
     """edges(src, dst) → (node, root) where root = min member of component.
 
@@ -136,17 +136,21 @@ def connected_components(
     a driver-side union-find (one pass, one job) instead of paying
     2 + 2·rounds job barriers of the star loop — at 20k edges the loop
     is pure fixed overhead (~10 s of scheduling for <1 s of compute).
-    The distributed loop remains the scale path and is FORCED whenever
-    per-iteration snapshots are requested (``on_iteration`` set) or
-    ``local_threshold=0``. Both paths produce identical (node, root)
-    assignments (root = min member); tests assert parity.
+    The 500k default bounds the collect at ~100 MB even for long string
+    node ids (ADVICE round 2 flagged 2M × cohort-qualified keys as
+    multi-GB). The distributed loop remains the scale path and is FORCED
+    whenever per-iteration snapshots are requested (``on_iteration``
+    set) or ``local_threshold=0``. Both paths produce identical
+    (node, root) assignments (root = min member); tests assert parity —
+    self-loop edges are dropped up front on BOTH paths (the star loop's
+    u>v filter would otherwise drop them only on the distributed path).
     """
     # Materialize the input edge list FIRST (one job): both the local
     # fast path (count + collect) and the star loop (_symmetric unions
     # the edges with their reverse — two branches that would otherwise
     # each recompute the full upstream lineage, double-running the
     # feature UDF stage) read it more than once.
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
     if on_iteration is None and local_threshold > 0:
         n_edges = edges.limit(local_threshold + 1).count()
         if n_edges <= local_threshold:

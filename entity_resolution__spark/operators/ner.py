@@ -64,19 +64,43 @@ def _rule_entities(text: str) -> list[tuple[str, str]]:
     return out
 
 
+class RuleModel:
+    """Default 'model': the deterministic rule-based extractor behind the
+    same pipe() interface a spaCy nlp object is adapted to."""
+
+    def pipe(self, texts: list[str]) -> list[list[tuple[str, str]]]:
+        return [_rule_entities(t) for t in texts]
+
+
 def extract_entities(
-    conv: DataFrame, id_col: str = "conv_id", text_col: str = "full_text"
+    conv: DataFrame,
+    id_col: str = "conv_id",
+    text_col: str = "full_text",
+    model_factory=None,
 ) -> DataFrame:
-    """mapInPandas NER: per-executor 'model' init, Arrow batch flow."""
+    """mapInPandas NER: per-executor 'model' init, Arrow batch flow.
+
+    `model_factory` is the spaCy swap-in seam (reference
+    /root/reference/models/ner/ner_extractor.py:63-105 loads
+    en_core_web_trf once and pipes batches): a zero-arg picklable
+    callable, invoked ONCE per partition stream on the executor (never
+    per row/batch), returning an object with
+    pipe(list[str]) -> list[list[(text, label)]]. Default: the
+    rule-based model. tests/test_matcher_ner.py injects a fake factory
+    and counts initializations to pin this contract — swapping in a real
+    model is `lambda: SpacyAdapter(spacy.load(...))`, config not surgery.
+    """
+    factory = model_factory or RuleModel
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # per-executor model init happens HERE (once per worker/partition
-        # stream) — this is where spacy.load() would go
+        # stream) — this is where spacy.load() goes at scale
+        model = factory()
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "conv_id": pdf[id_col],
-                    "entities": [ _rule_entities(t) for t in pdf[text_col] ],
+                    "entities": model.pipe(list(pdf[text_col])),
                 }
             )
 

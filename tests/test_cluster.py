@@ -193,3 +193,17 @@ def test_local_dsu_path_matches_star_loop(spark):
     lrows = {(r["node"], r["root"]) for r in local.assignments.collect()}
     drows = {(r["node"], r["root"]) for r in dist.assignments.collect()}
     assert lrows == drows
+
+
+def test_self_loop_parity_local_vs_distributed(spark):
+    """Self-loop edges are dropped up front on BOTH paths (ADVICE round
+    2: the local DSU used to emit a (node, node) row for a self-loop-only
+    node while the star loop dropped it)."""
+    e = spark.createDataFrame(
+        [("a", "b"), ("c", "c"), ("d", "d")], ["src", "dst"]
+    )
+    local = connected_components(e)
+    dist = connected_components(e, local_threshold=0)
+    lrows = {(r["node"], r["root"]) for r in local.assignments.collect()}
+    drows = {(r["node"], r["root"]) for r in dist.assignments.collect()}
+    assert lrows == drows == {("a", "a"), ("b", "a")}

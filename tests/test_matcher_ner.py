@@ -108,6 +108,34 @@ def test_ner_extract_format_merge(spark, tiny_transcripts_sdf):
     assert ("42", "CARDINAL") in labels
 
 
+def test_ner_model_seam_injection(spark):
+    """P9 swap-in seam (round-2 VERDICT #6): a custom model factory is
+    initialized once per partition stream (the per-executor spacy.load
+    slot, never per row) and its outputs flow through the plumbing."""
+    from entity_resolution__spark.operators.ner import extract_entities
+
+    inits = spark.sparkContext.accumulator(0)
+
+    class FakeModel:
+        def __init__(self):
+            inits.add(1)
+
+        def pipe(self, texts):
+            return [[(t.split()[0], "FAKE")] if t else [] for t in texts]
+
+    df = spark.createDataFrame(
+        [(f"c{i}", f"doc{i} body text") for i in range(12)],
+        ["conv_id", "full_text"],
+    ).repartition(3)
+    rows = extract_entities(df, model_factory=FakeModel).collect()
+    assert len(rows) == 12
+    ents = {r["conv_id"]: r["entities"] for r in rows}
+    for i in range(12):
+        assert list(ents[f"c{i}"][0]) == [f"doc{i}", "FAKE"]
+    # once per partition stream, not once per row (12 rows, 3 partitions)
+    assert 1 <= inits.value <= 3
+
+
 def test_collapse_undirected_max(spark):
     from entity_resolution__spark.operators.pairs import collapse_undirected_max
 
