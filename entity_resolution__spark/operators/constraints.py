@@ -165,10 +165,15 @@ def apply_constraints(
     scored: DataFrame,
     prune_sets: list[DataFrame],
     min_prob: float = 0.45,
+    persisted_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(kept, dropped): threshold filter then anti-join the union of
     prune sets (apply_constraints.py:40-66). `dropped` logs the pruned
-    edges (the *_dropped_geo.csv analog)."""
+    edges (the *_dropped_geo.csv analog).
+
+    `persisted_out`: optional sink the internally persisted prune set is
+    appended to, so the caller can unpersist once both outputs are
+    materialized (ADVICE round 2: the persist leaked)."""
     thresholded = scored.filter(F.col("prob_match") >= F.lit(min_prob))
     if not prune_sets:
         return thresholded, thresholded.limit(0)
@@ -179,6 +184,8 @@ def apply_constraints(
     # so the country-extraction UDF and prune joins run once, not per
     # output branch
     prune = prune.dropDuplicates(["id_left", "id_right"]).persist()
+    if persisted_out is not None:
+        persisted_out.append(prune)
     kept = thresholded.join(prune, ["id_left", "id_right"], "left_anti")
     dropped = thresholded.join(prune, ["id_left", "id_right"], "left_semi")
     return kept, dropped

@@ -82,6 +82,33 @@ def test_resume_from_snapshot(spark, tiny_transcripts_sdf, tmp_path_factory):
     assert c1.equals(c2)
 
 
+def test_warm_resume_skips_edge_recompute(
+    spark, tiny_transcripts_sdf, tmp_path_factory, monkeypatch
+):
+    """ADVICE round 2: a fully-warm resume must serve the edge stages
+    from committed snapshots WITHOUT re-running the country-extraction
+    pass (compute_edges used to execute eagerly before the stage gate)."""
+    import entity_resolution__spark.plans.pipeline as plmod
+
+    wh = str(tmp_path_factory.mktemp("warehouse_warm"))
+    cfg = ERConfig(use_minhash=False)
+    r1 = run_pipeline(spark, tiny_transcripts_sdf, cfg, store=StageStore(wh))
+    c1 = r1.clusters.toPandas().sort_values("conv_id").reset_index(drop=True)
+
+    calls: list[int] = []
+    orig = plmod.conv_countries
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(plmod, "conv_countries", spy)
+    r2 = run_pipeline(spark, tiny_transcripts_sdf, cfg, store=StageStore(wh))
+    c2 = r2.clusters.toPandas().sort_values("conv_id").reset_index(drop=True)
+    assert calls == [], "warm resume re-ran the country-extraction pass"
+    assert c1.equals(c2)
+
+
 def test_new_input_invalidates_snapshots(spark, tmp_path_factory):
     """Rerunning with a DIFFERENT input against the same warehouse must
     NOT resume from the previous input's snapshots (fingerprints carry
