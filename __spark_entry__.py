@@ -512,11 +512,16 @@ def _shingle_edges_cte(threshold: float = 0.2, n: int = 3) -> str:
     return f"""d AS (
               SELECT doc_id, {_TOKS} AS toks FROM documents
             ), sh AS (
+              -- shingles carried as 12-hex md5 prefixes (same injective
+              -- mapping as the Spark operator; jaccard is unchanged)
               SELECT doc_id,
                      CASE WHEN len(toks) >= {n} THEN
                        list_distinct(list_transform(
-                         range(1, len(toks) - {w} + 1),
-                         i -> array_to_string(toks[i:i+{w}], ' ')
+                         list_transform(
+                           range(1, len(toks) - {w} + 1),
+                           i -> array_to_string(toks[i:i+{w}], ' ')
+                         ),
+                         s -> substring(md5(s), 1, 12)
                        ))
                      ELSE [] END AS sh
               FROM d

