@@ -66,6 +66,74 @@ def _fit_logreg(
     return w
 
 
+@dataclass
+class BoostedMatcher:
+    """Gradient-boosted decision stumps with logistic loss — the
+    deterministic stand-in for the reference's XGBoost option
+    (models/pairwise_classifier.py:271-279: 600 trees, depth 6; here:
+    shallow stumps, fixed round count, quantile split grid — no RNG, so
+    (data, params) → bit-identical model). Same predict_proba/threshold/
+    feature_cols surface as TrainedMatcher, so it drops into
+    apply_matcher / apply_model_udf unchanged."""
+
+    base: float
+    stumps: list  # (feat_idx, split, left_add, right_add)
+    mean: np.ndarray
+    std: np.ndarray
+    threshold: float
+    feature_cols: list[str]
+    metrics: dict
+
+    def predict_proba(self, X: pd.DataFrame) -> np.ndarray:
+        Z = (X[self.feature_cols].to_numpy(dtype=np.float64) - self.mean) / self.std
+        z = np.full(len(Z), self.base)
+        for j, t, vl, vr in self.stumps:
+            z += np.where(Z[:, j] <= t, vl, vr)
+        return 1.0 / (1.0 + np.exp(-z))
+
+
+def _fit_stumps(
+    X: np.ndarray,
+    y: np.ndarray,
+    rounds: int = 60,
+    lr: float = 0.3,
+    n_bins: int = 16,
+) -> tuple[float, list]:
+    """Newton-step stump boosting (XGBoost's split objective with
+    depth=1): per round pick the (feature, quantile-split) maximizing
+    gl²/hl + gr²/hr over a FIXED candidate grid — deterministic, ties
+    resolved by scan order."""
+    n, d = X.shape
+    cand = [
+        np.unique(np.quantile(X[:, j], np.linspace(0.05, 0.95, n_bins)))
+        for j in range(d)
+    ]
+    p0 = float(np.clip(y.mean(), 1e-6, 1.0 - 1e-6))
+    base = float(np.log(p0 / (1.0 - p0)))
+    Fv = np.full(n, base)
+    stumps: list = []
+    for _ in range(rounds):
+        p = 1.0 / (1.0 + np.exp(-Fv))
+        g = y - p
+        h = np.maximum(p * (1.0 - p), 1e-6)
+        best = None
+        for j in range(d):
+            xj = X[:, j]
+            for t in cand[j]:
+                mask = xj <= t
+                gl, gr = g[mask].sum(), g[~mask].sum()
+                hl, hr = max(h[mask].sum(), 1e-9), max(h[~mask].sum(), 1e-9)
+                gain = gl * gl / hl + gr * gr / hr
+                if best is None or gain > best[0] + 1e-12:
+                    best = (gain, j, float(t), gl / hl, gr / hr)
+        _, j, t, vl, vr = best
+        vl *= lr
+        vr *= lr
+        Fv += np.where(X[:, j] <= t, vl, vr)
+        stumps.append((j, t, vl, vr))
+    return base, stumps
+
+
 def roc_auc(y: np.ndarray, s: np.ndarray) -> float:
     """Rank-based AUC (Mann-Whitney), ties averaged — numpy only."""
     order = np.argsort(s, kind="mergesort")
@@ -133,16 +201,31 @@ def train_matcher(
     feature_cols: list[str] | None = None,
     n_folds: int = 5,
     seed: int = 42,
-) -> TrainedMatcher:
+    model: str = "logreg",
+) -> TrainedMatcher | BoostedMatcher:
     """5-fold stratified OOF CV → F1-optimal threshold → refit on all
     (reference M1+M2, pairwise_classifier.py:284-371). Deterministic in
-    (data, seed)."""
+    (data, seed). ``model``: "logreg" (default) or "gbdt" (boosted
+    stumps — the reference's {logreg|rf|xgb} choice, pairwise_
+    classifier.py:259-279, minus the nondeterminism)."""
     cols = feature_cols or FEATURE_COLS
     X = labeled_features[cols].to_numpy(dtype=np.float64)
     y = labeled_features["label"].to_numpy(dtype=np.float64)
     mean = X.mean(axis=0)
     std = np.where(X.std(axis=0) > 0, X.std(axis=0), 1.0)
     Z = (X - mean) / std
+
+    def fit_predict(Ztr, ytr, Zte):
+        if model == "gbdt":
+            base, stumps = _fit_stumps(Ztr, ytr)
+            z = np.full(len(Zte), base)
+            for j, t, vl, vr in stumps:
+                z += np.where(Zte[:, j] <= t, vl, vr)
+            return 1.0 / (1.0 + np.exp(-z))
+        w = _fit_logreg(Ztr, ytr)
+        return 1.0 / (
+            1.0 + np.exp(-(np.hstack([Zte, np.ones((len(Zte), 1))]) @ w))
+        )
 
     # stratified folds, deterministic
     rng = np.random.default_rng(seed)
@@ -158,8 +241,7 @@ def train_matcher(
         tr, te = folds != k, folds == k
         if te.sum() == 0 or len(np.unique(y[tr])) < 2:
             continue
-        w = _fit_logreg(Z[tr], y[tr])
-        p = 1.0 / (1.0 + np.exp(-(np.hstack([Z[te], np.ones((te.sum(), 1))]) @ w)))
+        p = fit_predict(Z[tr], y[tr], Z[te])
         oof[te] = p
         fold_reports.append(
             {
@@ -170,26 +252,38 @@ def train_matcher(
         )
 
     thr, oof_f1 = f1_optimal_threshold(y, oof)
-    w_full = _fit_logreg(Z, y)
     # metric names mirror the reference metrics dict
     # (models/pairwise_classifier.py:345-356); oof_auc kept as an alias
+    metrics = {
+        "oof_roc_auc": roc_auc(y, oof),
+        "oof_pr_auc": pr_auc(y, oof),
+        "oof_auc": roc_auc(y, oof),
+        "oof_f1_at_threshold": oof_f1,
+        "cv_folds": fold_reports,
+        "fold_aucs": [f["roc_auc"] for f in fold_reports],
+        "pos_frac": float(y.mean()),
+        "n_pos": int(y.sum()),
+        "n": len(y),
+    }
+    if model == "gbdt":
+        base, stumps = _fit_stumps(Z, y)
+        return BoostedMatcher(
+            base=base,
+            stumps=stumps,
+            mean=mean,
+            std=std,
+            threshold=thr,
+            feature_cols=list(cols),
+            metrics=metrics,
+        )
+    w_full = _fit_logreg(Z, y)
     return TrainedMatcher(
         mean=mean,
         std=std,
         weights=w_full,
         threshold=thr,
         feature_cols=list(cols),
-        metrics={
-            "oof_roc_auc": roc_auc(y, oof),
-            "oof_pr_auc": pr_auc(y, oof),
-            "oof_auc": roc_auc(y, oof),
-            "oof_f1_at_threshold": oof_f1,
-            "cv_folds": fold_reports,
-            "fold_aucs": [f["roc_auc"] for f in fold_reports],
-            "pos_frac": float(y.mean()),
-            "n_pos": int(y.sum()),
-            "n": len(y),
-        },
+        metrics=metrics,
     )
 
 

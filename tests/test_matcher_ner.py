@@ -65,6 +65,31 @@ def test_train_matcher_separates():
     assert m.threshold == m2.threshold
 
 
+def test_train_gbdt_matcher_separates_and_is_deterministic():
+    """Boosted-stumps option (reference {logreg|rf|xgb} choice): same
+    CV/threshold surface, deterministic (fixed quantile grid, no RNG in
+    the fit), and drops into the same scoring path."""
+    m = train_matcher(_labeled(), model="gbdt")
+    assert m.metrics["oof_roc_auc"] > 0.95
+    assert m.metrics["oof_f1_at_threshold"] > 0.9
+    m2 = train_matcher(_labeled(), model="gbdt")
+    assert m.base == m2.base and m.stumps == m2.stumps
+    assert m.threshold == m2.threshold
+    # predicts the labels it trained on
+    p = m.predict_proba(_labeled(n=100, seed=9))
+    acc = ((p >= m.threshold).astype(int) == _labeled(n=100, seed=9)["label"]).mean()
+    assert acc > 0.85
+
+
+def test_apply_matcher_spark_gbdt(spark):
+    from entity_resolution__spark.operators.matcher import apply_matcher
+
+    m = train_matcher(_labeled(), model="gbdt")
+    test = _labeled(n=80, seed=11)
+    out = apply_matcher(spark.createDataFrame(test), m).toPandas()
+    assert np.allclose(out["prob_match"].to_numpy(), m.predict_proba(test), atol=1e-12)
+
+
 def test_apply_matcher_spark(spark):
     from entity_resolution__spark.operators.matcher import apply_matcher
 
