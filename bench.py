@@ -250,7 +250,11 @@ def main() -> None:
         # box where 32 threads may oversubscribe free capacity.
         sp = _bench_transcripts_path(SCALING_ENTITIES)
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "1"))
-        levels = [SCALING_N, SCALING_N * 4, min(SCALING_N * 16, 32)]
+        env_levels = os.environ.get("SPARK_GRAFT_SCALING_LEVELS")
+        if env_levels:
+            levels = [int(x) for x in env_levels.split(",")]
+        else:
+            levels = [SCALING_N, SCALING_N * 4, min(SCALING_N * 16, 32)]
         levels = sorted(set(levels))
         runs: dict[str, list] = {f"local{n}": [] for n in levels}
         for _ in range(reps):
