@@ -151,10 +151,12 @@ _NEARDUP_CACHE: dict = {}
 
 
 def _neardup_pairs(spark, sf, n=3, threshold=0.2):
-    sid = id(spark)
-    if _NEARDUP_CACHE.get("_session") != sid:
+    # identity check holds the session OBJECT (not id(): a freed
+    # session's address can be reused by a successor, false-hitting the
+    # cache with DataFrames bound to a dead SparkContext)
+    if _NEARDUP_CACHE.get("_session") is not spark:
         _NEARDUP_CACHE.clear()
-        _NEARDUP_CACHE["_session"] = sid
+        _NEARDUP_CACHE["_session"] = spark
     key = (sf, n, threshold)
     if key not in _NEARDUP_CACHE:
         from entity_resolution__spark.operators.dedup import ngram_jaccard_pairs

@@ -90,10 +90,12 @@ def minhash_buckets(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """LSH banding on the md5 MinHash: bucket = md5(band signature).
-    Docs sharing a bucket are near-dup candidates."""
+    Docs sharing a bucket are near-dup candidates. Only full bands are
+    built (a partial trailing band would reference absent signatures)."""
+    n_full = (n_hashes // band_size) * band_size
     sig = minhash_signature(df, n_hashes, text_col)
     bands = []
-    for b in range(0, n_hashes, band_size):
+    for b in range(0, n_full, band_size):
         parts = [F.col(f"mh_{s}") for s in range(b, b + band_size)]
         bands.append(
             F.struct(
@@ -244,8 +246,18 @@ def ngram_jaccard_pairs(
     """
     if band_size is None or n_hashes is None:
         bands_n, rows_n = lsh_scheme(threshold)
-        band_size = rows_n if band_size is None else band_size
-        n_hashes = bands_n * band_size if n_hashes is None else n_hashes
+        if band_size is None and n_hashes is None:
+            band_size, n_hashes = rows_n, bands_n * rows_n
+        elif band_size is None:
+            # n_hashes pinned: keep the scheme's row count if it fits,
+            # else whole-signature bands (never index past n_hashes)
+            band_size = rows_n if rows_n <= n_hashes else n_hashes
+        else:
+            n_hashes = bands_n * band_size
+    band_size = min(band_size, n_hashes)
+    # only FULL bands: a trailing partial band would reference minhash
+    # columns that don't exist (round-3 review) and skew the S-curve
+    n_full = (n_hashes // band_size) * band_size
     # shingles are carried as 12-hex-char md5 prefixes, not text: the
     # rerank join ships every candidate pair's two shingle sets, and
     # compact fixed-width keys cut those shuffle bytes ~3× while
@@ -282,10 +294,10 @@ def ngram_jaccard_pairs(
             .select(F.col("l.id").alias("id_left"), F.col("r.id").alias("id_right"))
         )
     else:
-        mh = [minhash_md5(F.col("sh"), s).alias(f"mh_{s}") for s in range(n_hashes)]
+        mh = [minhash_md5(F.col("sh"), s).alias(f"mh_{s}") for s in range(n_full)]
         sig = base.select("id", *mh)
         bands = []
-        for b in range(0, n_hashes, band_size):
+        for b in range(0, n_full, band_size):
             parts = [F.col(f"mh_{s}") for s in range(b, b + band_size)]
             bands.append(
                 F.struct(

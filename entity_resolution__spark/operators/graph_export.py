@@ -80,9 +80,15 @@ def label_propagation_communities(
     column (default 1.0).
 
     Deterministic: synchronous updates, min-label tie-break, stop at
-    fixpoint OR on a period-2 oscillation (synchronous LPA can 2-cycle
-    on bipartite-ish graphs), capped at max_iter. One groupBy+window+
-    join shuffle set per round, same cost envelope as a CC iteration.
+    fixpoint OR on a period-2 oscillation (backstop), capped at
+    max_iter. Each node's CURRENT label also votes, with weight equal
+    to the node's maximum incident edge weight: without a self-vote,
+    synchronous LPA 2-cycles on any bipartite structure (a single edge
+    swaps labels forever and "converges" to two singletons — found by
+    round-3 review); with self-weight = max incident weight the pair /
+    star / path cases tie into the min label in one round and dense
+    communities still outvote weak bridges. One groupBy+window+join
+    shuffle set per round, same cost envelope as a CC iteration.
 
     ``weighted=False`` keeps the round-2 min-label behavior (per-
     component stable labels — useful as a cheap CC-style coloring).
@@ -104,6 +110,10 @@ def label_propagation_communities(
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).localCheckpoint(eager=True)
+    # per-node self-vote weight: the node's strongest incident edge
+    self_w = sym.groupBy("u").agg(F.max("w").alias("sw")).withColumnRenamed(
+        "u", "node"
+    ).localCheckpoint(eager=True)
 
     def fingerprint(lb: DataFrame) -> tuple[int, int]:
         row = lb.agg(
@@ -116,7 +126,15 @@ def label_propagation_communities(
     for _ in range(max_iter):
         nbr = sym.join(labels.withColumnRenamed("node", "v"), "v")
         if weighted:
-            support = nbr.groupBy("u", "label").agg(F.sum("w").alias("ws"))
+            own = labels.join(self_w, "node").select(
+                F.col("node").alias("u"), "label", F.col("sw").alias("w")
+            )
+            support = (
+                nbr.select("u", "label", "w")
+                .unionByName(own)
+                .groupBy("u", "label")
+                .agg(F.sum("w").alias("ws"))
+            )
             rank = Window.partitionBy("u").orderBy(
                 F.col("ws").desc(), F.col("label").asc()
             )

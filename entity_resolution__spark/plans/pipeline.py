@@ -102,6 +102,17 @@ class ERResult:
     stage_rows: dict = field(default_factory=dict)
     stage_wall: dict = field(default_factory=dict)  # cfg.stage_timing=True
     stage_cpu: dict = field(default_factory=dict)  # + cfg.cpu_probe set
+    # store-less mode: transient persisted dimensions (countries/prune)
+    # still referenced by the LAZY edges/clusters plans — call
+    # release_transients() once the outputs are materialized, or they
+    # stay cached for the session's lifetime (CacheManager holds strong
+    # refs to cached SQL plans; ContextCleaner will NOT reclaim them)
+    transient_persists: list = field(default_factory=list)
+
+    def release_transients(self) -> None:
+        for df in self.transient_persists:
+            df.unpersist()
+        self.transient_persists.clear()
 
 
 def build_blocks(conv: DataFrame, cfg: ERConfig, n_docs: int | None = None) -> DataFrame:
@@ -337,10 +348,15 @@ def run_pipeline(
         # country/prune caches have served their purpose
         for df in _edge_persists:
             df.unpersist()
+        _edge_persists = []
     else:
         # store-less mode returns LAZY kept/dropped: the caches must
-        # outlive this function (they feed both downstream branches);
-        # Spark's ContextCleaner reclaims them when the plans are GC'd
+        # outlive this function (they feed both downstream branches).
+        # They are handed to the caller via ERResult.transient_persists
+        # — long-lived sessions running many store-less pipelines must
+        # release them after materializing, or they accumulate in
+        # executor storage memory (round-3 review: CacheManager holds
+        # strong refs, GC does not reclaim cached SQL plans)
         kept, dropped = _edges_pair()
 
     cluster_edges = kept.filter(
@@ -377,4 +393,5 @@ def run_pipeline(
         cc_iterations=cc_iter_store.get("iterations", 0),
         stage_wall=stage_wall,
         stage_cpu=stage_cpu,
+        transient_persists=list(_edge_persists),
     )

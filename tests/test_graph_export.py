@@ -78,6 +78,33 @@ def test_weighted_lpa_splits_bridged_communities(spark):
     assert len(mono) == 1
 
 
+def test_weighted_lpa_no_bipartite_oscillation(spark):
+    """Round-3 review: without a self-vote, synchronous LPA 2-cycles on
+    bipartite structures — a single edge returned two singletons and a
+    star split its center from the leaves. The self-vote (max incident
+    weight, min-label tie-break) must yield ONE community per component."""
+    from entity_resolution__spark.operators.graph_export import (
+        label_propagation_communities,
+    )
+
+    pair = spark.createDataFrame([("x", "y")], ["src", "dst"])
+    out = {r["node"]: r["community"]
+           for r in label_propagation_communities(pair).collect()}
+    assert out["x"] == out["y"] == "x"
+
+    star = spark.createDataFrame(
+        [("c", f"l{i}") for i in range(4)], ["src", "dst"]
+    )
+    out = {r["node"]: r["community"]
+           for r in label_propagation_communities(star).collect()}
+    assert len(set(out.values())) == 1
+
+    path = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    out = {r["node"]: r["community"]
+           for r in label_propagation_communities(path).collect()}
+    assert len(set(out.values())) == 1
+
+
 def test_to_gexf_string(spark):
     from entity_resolution__spark.operators.graph_export import (
         bfs_subgraph,

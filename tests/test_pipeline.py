@@ -109,6 +109,20 @@ def test_warm_resume_skips_edge_recompute(
     assert c1.equals(c2)
 
 
+def test_release_transients_storeless(spark, tiny_transcripts_sdf):
+    """Store-less runs hand their persisted dimensions to the caller;
+    release_transients() unpersists them (round-3 review: CacheManager
+    holds strong refs — they never leave executor memory on their own)."""
+    res = run_pipeline(spark, tiny_transcripts_sdf, ERConfig(use_minhash=False))
+    res.clusters.count()
+    assert res.transient_persists
+    assert all(df.is_cached for df in res.transient_persists)
+    kept = list(res.transient_persists)
+    res.release_transients()
+    assert res.transient_persists == []
+    assert all(not df.is_cached for df in kept)
+
+
 def test_new_input_invalidates_snapshots(spark, tmp_path_factory):
     """Rerunning with a DIFFERENT input against the same warehouse must
     NOT resume from the previous input's snapshots (fingerprints carry
