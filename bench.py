@@ -96,50 +96,65 @@ def _bench_transcripts_path(n_entities: int | None = None) -> str:
     return out
 
 
-def _proc_tree_cpu() -> float:
-    """Cumulative CPU seconds (utime+stime+reaped-children) of this
-    process and every live descendant — in local mode that is the
-    driver, the Spark JVM, and all Python UDF workers. /proc only (no
+class _ProcTreeCpuCounter:
+    """Monotonic cumulative CPU seconds of this process tree — the
+    driver, the Spark JVM, and all Python UDF workers (/proc only; no
     psutil in the container). Sampled at stage boundaries; differences
-    between samples give per-stage CPU. Python workers are pooled and
-    long-lived, so the live-descendant walk loses nothing in practice;
-    a worker reaped mid-window surfaces via its parent's cutime/cstime.
-    """
-    import glob
+    give per-stage CPU.
 
-    hz = os.sysconf("SC_CLK_TCK")
-    me = os.getpid()
-    procs: dict[int, tuple[int, float]] = {}
-    for stat in glob.glob("/proc/[0-9]*/stat"):
-        try:
-            with open(stat) as f:
-                data = f.read()
-        except OSError:
-            continue
-        try:
-            rp = data.rindex(")")
-            pid = int(data[: data.index(" ")])
-            fields = data[rp + 2 :].split()
-            # after comm: state(0) ppid(1) ... utime(11) stime(12)
-            # cutime(13) cstime(14)
-            cpu = (
-                int(fields[11]) + int(fields[12])
-                + int(fields[13]) + int(fields[14])
-            ) / hz
-            procs[pid] = (int(fields[1]), cpu)
-        except (ValueError, IndexError):
-            continue
+    Monotonicity matters: a naive live-descendant sum DROPS a worker's
+    time the instant Spark's python daemon tears it down (and
+    cutime-based recovery races the reap / loses reparented orphans —
+    observed as NEGATIVE stage CPU right after UDF stages). This
+    counter keeps a per-pid high-water mark and retires a pid's
+    last-seen total when it disappears, counting utime+stime only (no
+    cutime — retiring already covers dead children, double-counting
+    neither)."""
 
-    def is_mine(pid: int) -> bool:
-        seen: set[int] = set()
-        while pid and pid not in seen:
-            if pid == me:
-                return True
-            seen.add(pid)
-            pid = procs.get(pid, (0, 0.0))[0]
-        return False
+    def __init__(self) -> None:
+        self._last: dict[int, float] = {}
+        self._retired = 0.0
+        self._hz = os.sysconf("SC_CLK_TCK")
 
-    return sum(cpu for pid, (_, cpu) in procs.items() if is_mine(pid))
+    def __call__(self) -> float:
+        import glob
+
+        me = os.getpid()
+        procs: dict[int, tuple[int, float]] = {}
+        for stat in glob.glob("/proc/[0-9]*/stat"):
+            try:
+                with open(stat) as f:
+                    data = f.read()
+                rp = data.rindex(")")
+                pid = int(data[: data.index(" ")])
+                fields = data[rp + 2 :].split()
+                # after comm: state(0) ppid(1) ... utime(11) stime(12)
+                cpu = (int(fields[11]) + int(fields[12])) / self._hz
+                procs[pid] = (int(fields[1]), cpu)
+            except (OSError, ValueError, IndexError):
+                continue
+
+        def is_mine(pid: int) -> bool:
+            seen: set[int] = set()
+            while pid and pid not in seen:
+                if pid == me:
+                    return True
+                seen.add(pid)
+                pid = procs.get(pid, (0, 0.0))[0]
+            return False
+
+        live = {p: c for p, (_, c) in procs.items() if is_mine(p)}
+        for pid, last in list(self._last.items()):
+            cur = live.get(pid)
+            if cur is None or cur < last:  # died, or pid reused
+                self._retired += last
+                del self._last[pid]
+        for pid, cur in live.items():
+            self._last[pid] = max(cur, self._last.get(pid, 0.0))
+        return self._retired + sum(self._last.values())
+
+
+_proc_tree_cpu = _ProcTreeCpuCounter()
 
 
 def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
