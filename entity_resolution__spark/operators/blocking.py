@@ -66,7 +66,7 @@ def rare_token_keys(
         n = n_docs if n_docs is not None else conv.count()
         max_df = max(10, min(max_df, int(max_df_frac * n)))
     tok = conv.select("conv_id", F.explode("token_set").alias("token"))
-    df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    df_counts = token_doc_freq(conv)
     ranked = (
         tok.join(df_counts.filter(F.col("df") <= max_df), "token")
         .withColumn(
@@ -82,6 +82,19 @@ def rare_token_keys(
     return ranked.select("conv_id", F.col("token").alias("block_key"))
 
 
+def token_doc_freq(conv: DataFrame) -> DataFrame:
+    """(token, df) over the corpus — the one DF-count subplan shared by
+    rare_token_keys / stopwords_by_idf / constraints.stopwords_by_df
+    (round-3 review: it was hand-rolled three times; semantics fixes now
+    land in one place). Map-side combined; shuffle carries one row per
+    distinct (token, partial count)."""
+    return (
+        conv.select(F.explode("token_set").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
 def stopwords_by_idf(
     conv: DataFrame,
     idf_pct: float = 0.20,
@@ -90,35 +103,53 @@ def stopwords_by_idf(
 ) -> DataFrame:
     """TF-IDF-based auto-stopwords (reference B8,
     visualize_k_value_for_blocking.py:61-75): tokens whose idf is in the
-    lowest `idf_pct` quantile OR whose document frequency exceeds
-    `df_cut` of docs. Distributed: one DF aggregate + approxQuantile."""
+    lowest `idf_pct` quantile OR whose document frequency STRICTLY
+    exceeds `df_cut` of docs (strict >, matching the reference's
+    df_frac > HIGH_DF_PERCENT — round-3 review caught a >= here).
+    Distributed: ONE DF aggregate (persisted across the quantile action
+    and the filter; round 3 — it used to run twice) + approxQuantile.
+    Empty corpus → empty stopword set."""
     if n_docs is None:
         n_docs = conv.count()
-    dfreq = (
-        conv.select(F.explode("token_set").alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn(
-            "idf", F.log((F.lit(1.0 + n_docs)) / (F.col("df") + 1.0)) + 1.0
-        )
-    )
-    cut = dfreq.approxQuantile("idf", [idf_pct], 0.001)[0]
-    return dfreq.filter(
-        (F.col("idf") <= cut) | (F.col("df") >= df_cut * n_docs)
-    ).select("token")
+    dfreq = token_doc_freq(conv).withColumn(
+        "idf", F.log((F.lit(1.0 + n_docs)) / (F.col("df") + 1.0)) + 1.0
+    ).persist()
+    try:
+        q = dfreq.approxQuantile("idf", [idf_pct], 0.001)
+        if not q:
+            return dfreq.sparkSession.createDataFrame([], "token string")
+        out = dfreq.filter(
+            (F.col("idf") <= q[0]) | (F.col("df") > df_cut * n_docs)
+        ).select("token")
+        # materialize before unpersisting: the result is small (stopword
+        # dimension) and callers broadcast it anyway
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        dfreq.unpersist()
 
 
 def blocking_quality(
-    blocks: DataFrame, labeled_pairs: DataFrame, n_entities: int
+    blocks: DataFrame,
+    labeled_pairs: DataFrame,
+    n_entities: int,
+    pairs: DataFrame | None = None,
+    **candidate_kwargs,
 ) -> dict:
     """Blocking diagnostics (reference B7 k-sweep analog,
     visualize_k_value_for_blocking.py:109-173): pair completeness
     (recall of true pairs through the blocks) and reduction ratio
     1 - |candidate pairs| / C(N,2). All aggregates, collected as scalars.
+
+    Pass the PIPELINE's pair table via `pairs`, or its candidate_pairs
+    knobs via **candidate_kwargs (max_block/salt_threshold/n_salts) —
+    round-3 review: evaluating hardcoded defaults here could green-light
+    a config whose real candidate generator drops different blocks.
     """
     from entity_resolution__spark.operators.pairs import candidate_pairs
 
-    pairs = candidate_pairs(blocks)
+    if pairs is None:
+        pairs = candidate_pairs(blocks, **candidate_kwargs)
     n_pairs = pairs.count()
     pos = labeled_pairs.filter(F.col("label") == 1).select(
         F.col("conv_id_a").alias("id_left"), F.col("conv_id_b").alias("id_right")
@@ -248,10 +279,16 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
 def make_minhash_udf(num_perm: int = 32, qgram: int = 4, seed: int = 7):
     """Vectorized pandas UDF: text → array<long> minhash signature.
 
-    Shingles are character q-grams of the normalized text; hashing is
-    numpy uint64 (universal hashing mod Mersenne prime) — the whole batch
-    stays in numpy, no per-row Python in the hot loop beyond the shingle
-    split.
+    Shingles are character q-grams of the normalized text; the whole
+    batch stays in numpy, no per-row Python in the hot loop beyond the
+    shingle split. Hash family: (a·h + b mod 2⁶⁴) mod p per permutation
+    — numpy uint64 arithmetic WRAPS the product before the Mersenne
+    reduction, so this is a deterministic mixing family, NOT a textbook
+    Carter-Wegman universal hash (round-3 review corrected an
+    overclaiming comment; exact pairwise independence would need
+    128-bit multiplies). Empirically the minhash/Jaccard estimator is
+    unbiased on the fixtures and the blocking recall gate
+    (pair completeness ≥0.99, tests) is what actually pins behavior.
     """
     from pyspark.sql import types as T
 

@@ -130,14 +130,10 @@ def stopwords_by_df(
 ) -> DataFrame:
     """Tokens appearing in ≥ cutoff of conversations
     (stopwords_extractor.py:10-22 semantics, distributed)."""
+    from entity_resolution__spark.operators.blocking import token_doc_freq
+
     n = n_docs if n_docs is not None else conv.count()
-    return (
-        conv.select(F.explode("token_set").alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= cutoff * n)
-        .select("token")
-    )
+    return token_doc_freq(conv).filter(F.col("df") >= cutoff * n).select("token")
 
 
 def token_overlap_prune_pairs(

@@ -30,8 +30,16 @@ def read_transcript_stream(
 
 def deduped_turns(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Exactly-once turn stream: watermark on ts, drop duplicate
-    (conv_id, turn_idx) within the watermark window."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(
+    (conv_id, turn_idx) within the watermark window.
+
+    Uses dropDuplicatesWithinWatermark (Spark 3.5+): plain
+    dropDuplicates without the event-time column in its key NEVER
+    evicts dedup state — the watermark doesn't bound it, so a
+    continuous feed grows the state store without limit (round-3
+    review). WithinWatermark keys on (conv_id, turn_idx) and expires
+    each key once the watermark passes its event time — bounded state,
+    which is the only viable semantics at 10¹²-turn scale."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["conv_id", "turn_idx"]
     )
 

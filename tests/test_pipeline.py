@@ -109,6 +109,50 @@ def test_warm_resume_skips_edge_recompute(
     assert c1.equals(c2)
 
 
+def test_snapshot_gc_keeps_newest_previous(spark, tmp_path_factory):
+    """GC keeps the current snapshot plus the most RECENT other one by
+    mtime (round-3 review: a lexicographic sort over random uuids kept
+    an arbitrary snapshot as 'previous')."""
+    import os
+
+    wh = str(tmp_path_factory.mktemp("warehouse_gc"))
+    store = StageStore(wh)
+    df = spark.range(3)
+    ids = []
+    for i in range(3):
+        store.commit(df, "s", f"fp{i}")
+        ids.append(store.manifest("s")["snapshot_id"])
+        # force strictly increasing mtimes regardless of fs resolution
+        os.utime(os.path.join(wh, "s", ids[-1]), (i + 1, i + 1))
+    store.commit(df, "s", "fp3")
+    ids.append(store.manifest("s")["snapshot_id"])
+    left = {d for d in os.listdir(os.path.join(wh, "s")) if d.startswith("snap-")}
+    assert ids[3] in left            # current
+    assert ids[2] in left            # the true most-recent previous
+    assert ids[0] not in left and ids[1] not in left
+
+
+def test_stage_fingerprint_tracks_lineage(spark, tmp_path_factory):
+    """stage() must recompute when a lineage dependency recommitted
+    (round-3 review: the fingerprint hashed params only, so direct
+    callers got stale resume over new upstream data)."""
+    wh = str(tmp_path_factory.mktemp("warehouse_lineage"))
+    store = StageStore(wh)
+    store.commit(spark.range(5), "up", "fp-up-1")
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.range(2)
+
+    store.stage(spark, "down", {"p": 1}, compute, lineage=["up"])
+    store.stage(spark, "down", {"p": 1}, compute, lineage=["up"])
+    assert len(calls) == 1  # warm resume, same upstream
+    store.commit(spark.range(6), "up", "fp-up-2")  # upstream recommitted
+    store.stage(spark, "down", {"p": 1}, compute, lineage=["up"])
+    assert len(calls) == 2  # invalidated by the new upstream snapshot
+
+
 def test_release_transients_storeless(spark, tiny_transcripts_sdf):
     """Store-less runs hand their persisted dimensions to the caller;
     release_transients() unpersists them (round-3 review: CacheManager
