@@ -489,8 +489,15 @@ def _shingle_edges_cte(threshold: float = 0.2, n: int = 3) -> str:
     ADAPTIVE MinHash-LSH candidate scheme in DuckDB (same lsh_scheme as
     the Spark operator — round 2's oracle hard-coded the 4×2 bands, so
     scheme changes silently desynced; now both sides derive it from the
-    threshold). edges = (id_left, id_right, jaccard ≥ threshold)."""
-    from entity_resolution__spark.operators.dedup import lsh_scheme
+    threshold). Round 4: also mirrors the per-(band, bucket) size cap
+    (NGRAM_MAX_BUCKET) — hot-bucket dropping is part of the operator's
+    semantics, so the oracle applies the identical rule (salting is
+    plan-only and needs no mirror: the triangle join emits the same
+    pair set). edges = (id_left, id_right, jaccard ≥ threshold)."""
+    from entity_resolution__spark.operators.dedup import (
+        NGRAM_MAX_BUCKET,
+        lsh_scheme,
+    )
 
     n_bands, band_size = lsh_scheme(threshold)
     n_hashes = n_bands * band_size
@@ -535,11 +542,17 @@ def _shingle_edges_cte(threshold: float = 0.2, n: int = 3) -> str:
               FROM shf
             ), bands AS (
               {bands}
+            ), sized AS (
+              -- per-(band, bucket) size; buckets over the cap are
+              -- stopword-grade band keys and are dropped on BOTH sides
+              SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz
+              FROM bands
             ), cand AS (
               SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right
-              FROM bands l JOIN bands r
+              FROM sized l JOIN sized r
                 ON l.band = r.band AND l.bucket = r.bucket
                AND l.doc_id < r.doc_id
+              WHERE l.bsz <= {NGRAM_MAX_BUCKET}
             ), edges AS (
               SELECT id_left, id_right, {jac} AS jaccard
               FROM cand
@@ -711,12 +724,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
         """,
         "embedding_neardup": """
-            WITH b AS (
+            WITH b0 AS (
               SELECT vec_id, embedding,
                 list_aggregate(list_transform(embedding[1:8],
                   x -> CASE WHEN x > 0 THEN '1' ELSE '0' END),
                   'string_agg', '') AS bucket
               FROM embeddings
+            ), b AS (
+              -- mirror the operator's per-bucket size cap (buckets over
+              -- 4096 members are dropped before the self-join)
+              SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz
+                FROM b0
+              ) WHERE bsz <= 4096
             )
             SELECT l.vec_id AS id_left, r.vec_id AS id_right,
                    round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])

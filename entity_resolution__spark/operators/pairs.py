@@ -14,6 +14,10 @@ blocks over `salt_threshold` splits members into S salted sub-blocks and
 enumerates sub-block PAIRS (i ≤ j) so every original pair appears in
 exactly one (key, salt_i, salt_j) task — the triangle join. AQE's
 skew-join split is the backstop for residual imbalance.
+
+Round 4: the cap+salt machinery lives in operators/saltjoin.py (shared
+with the MinHash-band and embedding-bucket joins); candidate_pairs is a
+thin wrapper adding the ER pair-dedup.
 """
 
 from __future__ import annotations
@@ -35,61 +39,25 @@ def candidate_pairs(
     """blocks(conv_id, block_key) → (id_left, id_right) canonical, deduped.
 
     A pair sharing several keys is emitted once (dropDuplicates on the
-    pair). Salting: members of big blocks get salt = pmod(xxhash64(id),
-    S); pair tasks enumerate (salt_i, salt_j) with i ≤ j via a small
-    cross of the salt range, keeping the per-task row count ~(n/S)².
-    """
-    spark = blocks.sparkSession
-    sized = blocks.join(F.broadcast(block_sizes(blocks)), "block_key").filter(
-        F.col("block_size") <= max_block
-    )
+    pair). Round 4: delegates to saltjoin.capped_salted_self_join — the
+    scheme this module proved in rounds 1-3, generalized so the LSH
+    dedup/embedding paths share it. The generalized triangle expands
+    BOTH join sides over the (si ≤ sj) salt pairs, keying the join on
+    (block_key, si, sj): per-task volume is (n/S)² (the round-1-3 form
+    keyed on (block_key, sj) only, bounding a hot block at n²/S per
+    partition)."""
+    from entity_resolution__spark.operators.saltjoin import capped_salted_self_join
 
-    small = sized.filter(F.col("block_size") <= salt_threshold).select(
-        "block_key", "conv_id"
-    )
-    big = sized.filter(F.col("block_size") > salt_threshold).select(
-        "block_key", "conv_id"
-    )
-
-    l, r = small.alias("l"), small.alias("r")
-    pairs_small = l.join(r, "block_key").filter(F.col("l.conv_id") < F.col("r.conv_id"))
-    pairs_small = pairs_small.select(
-        F.col("l.conv_id").alias("id_left"),
-        F.col("r.conv_id").alias("id_right"),
-        "block_key",
-    )
-
-    # triangle join for hot blocks
-    salted = big.withColumn("salt", F.pmod(F.xxhash64("conv_id"), F.lit(n_salts)))
-    salt_pairs = spark.range(n_salts).select(F.col("id").alias("si")).crossJoin(
-        spark.range(n_salts).select(F.col("id").alias("sj"))
-    ).filter(F.col("si") <= F.col("sj"))
-    lhs = salted.join(
-        F.broadcast(salt_pairs), salted["salt"] == F.col("si")
-    ).select("block_key", "conv_id", "si", "sj")
-    rhs = salted.select(
-        F.col("block_key").alias("block_key_r"),
-        F.col("conv_id").alias("conv_id_r"),
-        F.col("salt").alias("salt_r"),
-    )
-    pairs_big = lhs.join(
-        rhs,
-        (F.col("block_key") == F.col("block_key_r"))
-        & (F.col("sj") == F.col("salt_r")),
-    ).filter(
-        # same-salt task handles its own triangle; cross-salt tasks take all
-        F.when(
-            F.col("si") == F.col("sj"), F.col("conv_id") < F.col("conv_id_r")
-        ).otherwise(F.col("conv_id") != F.col("conv_id_r"))
-    )
-    pairs_big = pairs_big.select(
-        F.least("conv_id", "conv_id_r").alias("id_left"),
-        F.greatest("conv_id", "conv_id_r").alias("id_right"),
-        "block_key",
-    )
-
+    keyed = blocks.select("block_key", "conv_id")
     return (
-        pairs_small.unionByName(pairs_big)
+        capped_salted_self_join(
+            keyed,
+            ["block_key"],
+            id_col="conv_id",
+            max_bucket=max_block,
+            salt_threshold=salt_threshold,
+            n_salts=n_salts,
+        )
         .dropDuplicates(["id_left", "id_right"])
         .select("id_left", "id_right", "block_key")
     )

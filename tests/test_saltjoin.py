@@ -1,0 +1,140 @@
+"""capped_salted_self_join: the shared skew-safe bucket self-join.
+
+Round-4 VERDICT #1 closure: (a) the triangle-salted join emits exactly
+the naive pair set, (b) per-salt-task pair volume is bounded by
+~(n/S)² — the design bound, asserted from the salt assignment itself so
+the test doesn't depend on AQE partition coalescing, (c) a ≥10k-member
+adversarial hot bucket (every doc sharing a shingle) is DROPPED by the
+cap on both the ngram and embedding paths instead of emitting ~5·10⁷
+pairs through one task, and (d) the drop is auditable via
+dropped_hot_buckets (no silent caps).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from entity_resolution__spark.operators.saltjoin import (
+    capped_salted_self_join,
+    dropped_hot_buckets,
+)
+
+
+def test_salted_pair_set_matches_naive(spark):
+    n = 600  # > salt_threshold → triangle path
+    rows = [(f"d{i:04d}", "hot") for i in range(n)]
+    rows += [(f"s{i}", "small") for i in range(7)]
+    df = spark.createDataFrame(rows, ["id", "bk"])
+    got = {
+        (r["id_left"], r["id_right"])
+        for r in capped_salted_self_join(
+            df, ["bk"], id_col="id", max_bucket=4096, salt_threshold=200, n_salts=8
+        ).collect()
+    }
+    expect = {
+        (a, b) for a, b in combinations(sorted(r[0] for r in rows[:n]), 2)
+    } | {(a, b) for a, b in combinations(sorted(r[0] for r in rows[n:]), 2)}
+    assert got == expect
+
+
+def test_salted_per_task_volume_bound(spark):
+    """Every (si, sj) salt task sees ≤ ~3·(n/S)² pairs of the hot
+    bucket — the quadratic load is split across the S(S+1)/2 triangle
+    tasks instead of landing on one. The task of a pair is derived from
+    the same xxhash64 salt the join uses, so the assertion checks the
+    DESIGN bound, independent of physical partition coalescing."""
+    n, S = 600, 8
+    df = spark.createDataFrame([(f"d{i:04d}", "hot") for i in range(n)], ["id", "bk"])
+    pairs = capped_salted_self_join(
+        df, ["bk"], id_col="id", max_bucket=4096, salt_threshold=200, n_salts=S
+    )
+    salt = lambda c: F.pmod(F.xxhash64(c), F.lit(S))  # noqa: E731
+    per_task = (
+        pairs.select(
+            F.least(salt(F.col("id_left")), salt(F.col("id_right"))).alias("si"),
+            F.greatest(salt(F.col("id_left")), salt(F.col("id_right"))).alias("sj"),
+        )
+        .groupBy("si", "sj")
+        .count()
+        .collect()
+    )
+    assert sum(r["count"] for r in per_task) == n * (n - 1) // 2
+    assert len(per_task) == S * (S + 1) // 2  # every triangle task used
+    bound = 3 * (n / S) ** 2
+    assert max(r["count"] for r in per_task) <= bound
+
+
+def test_composite_key_and_cross_bucket_duplicates(spark):
+    """Multi-band keying: a pair sharing two (band, bucket) keys is
+    emitted once per key (callers dedup), and keys never mix."""
+    rows = [
+        ("a", 0, "x"), ("b", 0, "x"),
+        ("a", 1, "y"), ("b", 1, "y"),
+        ("c", 0, "z"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "band", "bucket"])
+    out = capped_salted_self_join(df, ["band", "bucket"], id_col="id").collect()
+    assert sorted((r["id_left"], r["id_right"], r["band"]) for r in out) == [
+        ("a", "b", 0),
+        ("a", "b", 1),
+    ]
+
+
+def test_adversarial_hot_shingle_bucket_dropped(spark):
+    """≥10k docs sharing their text (hence every shingle, hence every
+    minhash band bucket): the naive band join would emit ~5·10⁷ pairs;
+    with the cap the mega-bucket is dropped and only the benign near-dup
+    pair survives. Completes in seconds — that IS the assertion that no
+    quadratic path ran."""
+    from entity_resolution__spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = spark.range(10_000).select(
+        F.concat(F.lit("h"), F.format_string("%05d", "id")).alias("doc_id"),
+        F.lit("the same exact hot document text repeated across the corpus").alias(
+            "text"
+        ),
+    )
+    benign = spark.createDataFrame(
+        [
+            ("p1", "completely different quick brown fox jumps over the lazy dog"),
+            ("p2", "completely different quick brown fox jumps over the lazy cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = ngram_jaccard_pairs(
+        hot.unionByName(benign), n=3, threshold=0.2, max_bucket=256
+    ).collect()
+    assert {(r["id_left"], r["id_right"]) for r in out} == {("p1", "p2")}
+
+
+def test_adversarial_degenerate_embedding_bucket_dropped(spark):
+    """10k embeddings in one sign bucket (all-positive region) are
+    dropped by the cap; a small distinct-bucket group still pairs."""
+    from entity_resolution__spark.operators.similarity import (
+        sign_bucket_neardup_pairs,
+    )
+
+    hot = spark.range(10_000).select(
+        F.col("id").cast("int").alias("vec_id"),
+        F.array([F.lit(1.0)] * 8).alias("embedding"),
+    )
+    cold = spark.createDataFrame(
+        [
+            (20001, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+            (20002, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.5]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = sign_bucket_neardup_pairs(
+        hot.unionByName(cold), n_dims=8, threshold=0.25, max_bucket=256
+    ).collect()
+    assert {(r["id_left"], r["id_right"]) for r in out} == {(20001, 20002)}
+
+
+def test_dropped_hot_buckets_audit(spark):
+    rows = [(f"d{i}", "hot") for i in range(50)] + [("x", "ok"), ("y", "ok")]
+    df = spark.createDataFrame(rows, ["id", "bk"])
+    dropped = dropped_hot_buckets(df, ["bk"], max_bucket=10).collect()
+    assert [(r["bk"], r["bucket_size"]) for r in dropped] == [("hot", 50)]
