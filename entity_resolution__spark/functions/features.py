@@ -19,14 +19,20 @@ features are partition-invariant and deterministic under any shuffle.
 Char 3-5-gram cosine uses hashed sublinear TF without IDF (vocabulary-
 free at scale).
 
-Vectorized execution (round-3 rewrite of the round-2 per-row loop):
-the three cosine features are sparse dot products over per-STRING
-count vectors. A pair batch references far fewer distinct strings than
-2×rows (each conversation appears in many candidate pairs), so the
-kernel factorizes the batch's strings once (pd.factorize), builds each
-unique string's token-count and char-ngram-count vectors once (numpy
-unique/sliding-window — no Python dicts), and per pair does only sorted
-intersections + dots. Token lists are DERIVED from norm_text inside the
+Vectorized execution (round-3 rewrite of the round-2 per-row loop;
+round 4 made the remaining per-pair work C-resident): the three cosine
+features are sparse dot products over per-STRING count vectors. A pair
+batch references far fewer distinct strings than 2×rows (each
+conversation appears in many candidate pairs), so the kernel factorizes
+the batch's strings once (pd.factorize), builds each unique string's
+token-count and char-ngram-count vectors once (numpy unique/
+sliding-window — no Python dicts), maps token keys to order-preserving
+int codes once per batch, and per pair does one searchsorted pass per
+intersection (a fully-batched lexsort alternative was measured 8-19×
+SLOWER — see the rejected-design note at _coded_token_keys). The char
+kernels share one LCS pass between edit_ratio and lcs_ratio
+(strings.indel_and_lcs_series). Token lists are
+DERIVED from norm_text inside the
 kernel (normalization is idempotent, so findall(norm_text) ==
 tokenize(full_text)); the pair shuffle therefore ships neither `tokens`
 nor duplicate token material — only norm_text + the token_set needed by
@@ -91,7 +97,11 @@ _EMPTY_TOK = np.empty(0, dtype=object)
 def _token_profile(s: str, idf: dict[str, float]):
     """One string → (sorted unique tokens, count weights, tfidf weights,
     |count|, |tfidf|). Sublinear TF (1+ln tf) × global idf (unseen
-    token idf=1), matching the round-2 Counter kernel exactly."""
+    token idf=1), matching the round-2 Counter kernel exactly.
+
+    Kept as the reference per-string form (tests); the batch kernel
+    applies idf through a per-batch vocabulary gather instead
+    (_apply_idf_weights) — same values, no per-key dict lookups."""
     toks = _TOKEN_RE.findall(s)
     if not toks:
         return (_EMPTY_TOK, _EMPTY_F64, _EMPTY_F64, 0.0, 0.0)
@@ -111,6 +121,17 @@ def _token_profile(s: str, idf: dict[str, float]):
     )
 
 
+def _count_profile(s: str):
+    """One string → (sorted unique tokens, count weights, |count|) —
+    the idf-free part of _token_profile."""
+    toks = _TOKEN_RE.findall(s)
+    if not toks:
+        return (_EMPTY_TOK, _EMPTY_F64, 0.0)
+    keys, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    w_tc = cnt.astype(np.float64)
+    return (keys, w_tc, float(np.sqrt((w_tc * w_tc).sum())))
+
+
 def _ngram_profile(s: str):
     """One string → (sorted unique char 3-5-gram keys, counts, norm).
 
@@ -124,26 +145,91 @@ def _ngram_profile(s: str):
     if len(cps) < 3:
         return (_EMPTY_U64, _EMPTY_F64, 0.0)
     folded = ((cps ^ (cps >> np.uint32(12))) & np.uint32(0xFFF)).astype(np.uint64)
+    # incremental key build: k4 extends k3, k5 extends k4 (one multiply-
+    # add per extra n instead of rebuilding each window from scratch)
+    B = np.uint64(4096)
+    tag = np.uint64(1) << np.uint64(60)
     parts = []
-    for n in (3, 4, 5):
-        if len(folded) >= n:
-            w = np.lib.stride_tricks.sliding_window_view(folded, n)
-            key = w[:, 0].copy()
-            for j in range(1, n):
-                key = key * np.uint64(4096) + w[:, j]
-            key |= np.uint64(n) << np.uint64(60)
-            parts.append(key)
+    k = folded[:-2] * B * B + folded[1:-1] * B + folded[2:]  # untagged 3-grams
+    parts.append(k | (np.uint64(3) * tag))
+    if len(folded) >= 4:
+        k = k[:-1] * B + folded[3:]
+        parts.append(k | (np.uint64(4) * tag))
+        if len(folded) >= 5:
+            k = k[:-1] * B + folded[4:]
+            parts.append(k | (np.uint64(5) * tag))
     keys, cnt = np.unique(np.concatenate(parts), return_counts=True)
     wt = cnt.astype(np.float64)
     return (keys, wt, float(np.sqrt((wt * wt).sum())))
 
 
 def _sparse_dot(ka, wa, kb, wb) -> float:
-    """Dot product of two sorted-unique sparse vectors."""
+    """Dot product of two sorted-unique sparse vectors (reference form —
+    kept for tests; the batch path uses _searchsorted_dot)."""
     _, ia, ib = np.intersect1d(ka, kb, assume_unique=True, return_indices=True)
     if len(ia) == 0:
         return 0.0
     return float((wa[ia] * wb[ib]).sum())
+
+
+def _flatten_profiles(profiles: list, key_ix: int, weight_ixs: tuple[int, ...]):
+    """list of per-unique-string profiles → (flat_keys, [flat_weights…],
+    offsets) — the concatenated form the batch code-mapping consumes."""
+    keys = [p[key_ix] for p in profiles]
+    lens = np.fromiter((len(k) for k in keys), dtype=np.int64, count=len(keys))
+    offs = np.zeros(len(keys) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat_k = np.concatenate(keys) if keys else np.empty(0, dtype=object)
+    flat_w = [
+        np.concatenate([p[ix] for p in profiles]) if profiles else _EMPTY_F64
+        for ix in weight_ixs
+    ]
+    return flat_k, flat_w, offs
+
+
+# A NOTE ON THE REJECTED DESIGN (round 4): the obvious "eliminate the
+# per-pair loop" rewrite — gather both sides' profile entries tagged by
+# pair index, lexsort by (pair, key), multiply adjacent equal keys,
+# bincount per pair — was implemented and benchmarked: 18.8 s vs 0.8 s
+# (char n-grams) and 5.8 s vs 0.5 s (tokens) against the per-pair loop
+# on a 40k-pair batch of ~370-char texts. A global argsort over the
+# ~100M gathered entries is out-of-cache O(T log T); the per-pair loop
+# does the same total element work in L2-resident slices. The loop
+# stays, with its per-pair numpy work made cheap: token keys are mapped
+# once per batch to ORDER-PRESERVING int codes (hash factorize + a rank
+# permutation of the small vocabulary — object-dtype comparisons never
+# run per pair), and the intersection is one binary-search pass of the
+# b-side into the a-side (searchsorted) instead of intersect1d's
+# sort-of-the-concatenation. Accumulation stays in ascending key order
+# per pair, so values are batch-composition-invariant.
+
+
+def _coded_token_keys(tok_prof: list):
+    """Per-profile token-key arrays remapped to int64 codes whose order
+    equals the token string order (sorted-unique in, sorted-unique out).
+    Also returns the batch vocabulary in code order, so per-batch
+    weights (idf) become one array gather instead of per-key dict gets.
+    """
+    flat_tok, _, offs = _flatten_profiles(tok_prof, 0, ())
+    if not len(flat_tok):
+        return [np.empty(0, dtype=np.int64) for _ in tok_prof], []
+    c0, vocab = pd.factorize(flat_tok, sort=False)
+    order = np.argsort(vocab, kind="stable")
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[order] = np.arange(len(vocab))
+    return np.split(rank[c0], offs[1:-1]), np.asarray(vocab, dtype=object)[order]
+
+
+def _searchsorted_match(ka: np.ndarray, kb: np.ndarray):
+    """Match positions of two sorted-unique int key arrays:
+    (positions into ka, positions into kb), ascending key order."""
+    if ka.size == 0 or kb.size == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    idx = np.searchsorted(ka, kb)
+    safe = np.minimum(idx, ka.size - 1)
+    eq_b = np.flatnonzero((idx < ka.size) & (ka[safe] == kb))
+    return idx[eq_b], eq_b
 
 
 def compute_feature_struct(
@@ -169,9 +255,10 @@ def compute_feature_struct(
     tr = full_r.str.slice(0, MAX_KERNEL_CHARS)
     n = len(full_l)
     out = {}
-    out["edit_ratio"] = K.edit_ratio_series(tl, tr).to_numpy()
+    er, lr = K.indel_and_lcs_series(tl, tr)  # one LCS pass for both
+    out["edit_ratio"] = er.to_numpy()
+    out["lcs_ratio"] = lr.to_numpy()
     out["jaro_winkler"] = K.jaro_winkler_series(tl, tr).to_numpy()
-    out["lcs_ratio"] = K.lcs_ratio_series(tl, tr).to_numpy()
     out["dmetaphone_match"] = K.metaphone_match_series(tl, tr).to_numpy()
 
     # factorize the batch's strings: profiles built once per DISTINCT
@@ -179,43 +266,85 @@ def compute_feature_struct(
     codes, uniques = pd.factorize(
         pd.concat([full_l, full_r], ignore_index=True), sort=False
     )
-    tok_prof = [_token_profile(s, idf) for s in uniques]
+    tok_prof = [_count_profile(s) for s in uniques]
     ng_prof = [_ngram_profile(s[:MAX_KERNEL_CHARS]) for s in uniques]
     il, ir = codes[:n], codes[n:]
 
+    # per-pair loop over C-speed primitives: int-coded token keys (one
+    # batch-level factorize; no object comparisons per pair) + one
+    # searchsorted pass per intersection (see the rejected-design note
+    # above for why there is no global sort here)
+    tok_keys, vocab_sorted = _coded_token_keys(tok_prof)
+    # tfidf weights via one vocabulary gather (same values and float
+    # order as _token_profile's per-key idf.get form)
+    idf_arr = None
+    if idf and len(vocab_sorted):
+        idf_arr = np.fromiter(
+            (idf.get(t, 1.0) for t in vocab_sorted),
+            dtype=np.float64,
+            count=len(vocab_sorted),
+        )
+    wf_prof = []
+    for p, (_, wc, _norm) in enumerate(tok_prof):
+        if not len(wc):
+            wf_prof.append((_EMPTY_F64, 0.0))
+            continue
+        wf = 1.0 + np.log(wc)
+        if idf_arr is not None:
+            wf = wf * idf_arr[tok_keys[p]]
+        wf_prof.append((wf, float(np.sqrt((wf * wf).sum()))))
     tc = np.empty(n)
     twc = np.empty(n)
     chc = np.empty(n)
     for i in range(n):
-        ka, wca, wfa, nca, nfa = tok_prof[il[i]]
-        kb, wcb, wfb, ncb, nfb = tok_prof[ir[i]]
+        a, b = il[i], ir[i]
+        _, wca, nca = tok_prof[a]
+        _, wcb, ncb = tok_prof[b]
         if nca == 0.0 or ncb == 0.0:
             tc[i] = 1.0
             twc[i] = 1.0
         else:
-            _, ia, ib = np.intersect1d(
-                ka, kb, assume_unique=True, return_indices=True
-            )
+            wfa, nfa = wf_prof[a]
+            wfb, nfb = wf_prof[b]
+            ia, ib = _searchsorted_match(tok_keys[a], tok_keys[b])
             tc[i] = float((wca[ia] * wcb[ib]).sum()) / (nca * ncb)
             twc[i] = float((wfa[ia] * wfb[ib]).sum()) / (nfa * nfb)
-        ga, wga, na = ng_prof[il[i]]
-        gb, wgb, nb = ng_prof[ir[i]]
+        ga, wga, na = ng_prof[a]
+        gb, wgb, nb = ng_prof[b]
         den = na * nb
-        chc[i] = 1.0 if den == 0.0 else _sparse_dot(ga, wga, gb, wgb) / den
+        if den == 0.0:
+            chc[i] = 1.0
+        else:
+            ja, jb = _searchsorted_match(ga, gb)
+            chc[i] = float((wga[ja] * wgb[jb]).sum()) / den
     out["token_cosine"] = tc
     out["tfidf_word_cosine"] = twc
     out["tfidf_char_cosine"] = chc
 
     # indel ratio over the joined sequence treats each element char-wise;
     # sequences are short (≤ dozens of turns) so this is cheap and
-    # order-sensitive, which is the point (tool/role ORDER matters)
-    out["role_seq_sim"] = K.edit_ratio_series(
-        roles_l.fillna(""), roles_r.fillna("")
-    ).to_numpy()
-    out["tool_seq_sim"] = K.edit_ratio_series(
-        tools_l.fillna(""), tools_r.fillna("")
-    ).to_numpy()
+    # order-sensitive, which is the point (tool/role ORDER matters).
+    # Role/tool vocabularies are tiny, so the same (l, r) sequence combo
+    # recurs across many pairs (measured 9× for tool seqs at bench
+    # scale): compute once per distinct combo and scatter back.
+    out["role_seq_sim"] = _dedup_pair_kernel(
+        K.edit_ratio, roles_l.fillna(""), roles_r.fillna("")
+    )
+    out["tool_seq_sim"] = _dedup_pair_kernel(
+        K.edit_ratio, tools_l.fillna(""), tools_r.fillna("")
+    )
     return pd.DataFrame(out)
+
+
+def _dedup_pair_kernel(fn, a: pd.Series, b: pd.Series) -> np.ndarray:
+    """fn(a[i], b[i]) evaluated once per DISTINCT (a, b) combination."""
+    codes, combos = pd.factorize(
+        pd.Series(zip(a.to_numpy(), b.to_numpy())), sort=False
+    )
+    vals = np.fromiter(
+        (fn(x, y) for x, y in combos), dtype=np.float64, count=len(combos)
+    )
+    return vals[codes]
 
 
 def make_feature_udf(idf_map: dict[str, float] | None = None):

@@ -94,40 +94,39 @@ def jaro(a: str, b: str) -> float:
         return 1.0
     if not a or not b:
         return 0.0
+    if a == b:
+        return 1.0
     la, lb = len(a), len(b)
     window = max(la, lb) // 2 - 1
     if window < 0:
         window = 0
-    # O(la+lb) matching: per-character position lists in b with a
-    # monotone pointer. The greedy "first unmatched j in window" of the
-    # classic algorithm consumes positions left-to-right, and the window
-    # lower bound only moves right, so one pointer per character suffices.
+    # O(la+lb) matching: per-character position lists in b, built in
+    # DESCENDING order so the next candidate is always lst[-1] and both
+    # "skip below window" and "consume" are O(1) list.pop()s. The greedy
+    # "first unmatched j in window" of the classic algorithm consumes
+    # positions left-to-right and the window lower bound only moves
+    # right, so popped positions are never needed again.
     positions: dict[str, list[int]] = {}
-    for j, ch in enumerate(b):
-        positions.setdefault(ch, []).append(j)
-    ptr = dict.fromkeys(positions, 0)
+    for j in range(lb - 1, -1, -1):
+        positions.setdefault(b[j], []).append(j)
     a_match: list[str] = []
-    match_b = [False] * lb
+    matched_j: list[int] = []
+    get = positions.get
     for i, ch in enumerate(a):
-        lst = positions.get(ch)
-        if lst is None:
+        lst = get(ch)
+        if not lst:
             continue
-        p = ptr[ch]
         lo = i - window
-        hi = i + window + 1
-        while p < len(lst) and lst[p] < lo:
-            p += 1
-        if p < len(lst) and lst[p] < hi:
-            match_b[lst[p]] = True
+        while lst and lst[-1] < lo:
+            lst.pop()
+        if lst and lst[-1] <= i + window:
+            matched_j.append(lst.pop())
             a_match.append(ch)
-            ptr[ch] = p + 1
-        else:
-            ptr[ch] = p
     m = len(a_match)
     if m == 0:
         return 0.0
-    b_match = [b[j] for j in range(lb) if match_b[j]]
-    t = sum(1 for x, y in zip(a_match, b_match) if x != y) // 2
+    matched_j.sort()
+    t = sum(1 for x, j in zip(a_match, matched_j) if x != b[j]) // 2
     return (m / la + m / lb + (m - t) / m) / 3.0
 
 
@@ -298,19 +297,71 @@ def lcs_ratio_series(a: pd.Series, b: pd.Series) -> pd.Series:
     return pair_series(lcs_ratio, a, b)
 
 
+def indel_and_lcs_series(
+    a: pd.Series, b: pd.Series
+) -> tuple[pd.Series, pd.Series]:
+    """(edit_ratio, lcs_ratio) from ONE bit-parallel LCS pass per pair.
+
+    Both ratios are normalizations of the same LCS length; computing
+    them independently ran the O(nm/64) kernel twice per pair — LCS was
+    ~40% of the feature stage's CPU at bench scale (round 4). Values are
+    identical to the two separate series."""
+    av = a.fillna("").astype(str).to_numpy()
+    bv = b.fillna("").astype(str).to_numpy()
+    n = len(av)
+    er = np.empty(n)
+    lr = np.empty(n)
+    for i in range(n):
+        x, y = av[i], bv[i]
+        if not x and not y:
+            er[i] = 1.0
+            lr[i] = 1.0
+            continue
+        lcs = lcs_len(x, y)
+        er[i] = 2.0 * lcs / (len(x) + len(y))
+        lr[i] = lcs / max(len(x), len(y)) if x and y else 0.0
+    return pd.Series(er), pd.Series(lr)
+
+
 def jaro_winkler_series(a: pd.Series, b: pd.Series) -> pd.Series:
     return pair_series(jaro_winkler, a, b)
+
+
+# bounded worker-level metaphone memo: first tokens are Zipfian, so the
+# same keys recur across every Arrow batch (same rationale and bound
+# discipline as dedup._MD5_CACHE)
+_METAPHONE_CACHE: dict[str, str] = {}
+_METAPHONE_CACHE_MAX = 500_000
+
+
+def _metaphone_memo(w: str) -> str:
+    v = _METAPHONE_CACHE.get(w)
+    if v is None:
+        v = metaphone(w)
+        if len(_METAPHONE_CACHE) < _METAPHONE_CACHE_MAX:
+            _METAPHONE_CACHE[w] = v
+    return v
+
+
+def _first_token(s: str) -> str:
+    f = s.split(None, 1)  # maxsplit=1: never tokenize the whole string
+    return f[0] if f else ""
 
 
 def metaphone_match_series(a: pd.Series, b: pd.Series) -> pd.Series:
     """First-token metaphone equality → {0.0, 1.0}
     (reference feautre_extraction.py:56-59)."""
-    fa = a.fillna("").astype(str).str.split().str[0].fillna("")
-    fb = b.fillna("").astype(str).str.split().str[0].fillna("")
+    av = a.fillna("").astype(str).to_numpy()
+    bv = b.fillna("").astype(str).to_numpy()
     return pd.Series(
         np.fromiter(
-            (1.0 if metaphone(x) == metaphone(y) else 0.0 for x, y in zip(fa, fb)),
+            (
+                1.0
+                if _metaphone_memo(_first_token(x)) == _metaphone_memo(_first_token(y))
+                else 0.0
+                for x, y in zip(av, bv)
+            ),
             dtype=np.float64,
-            count=len(fa),
+            count=len(av),
         )
     )

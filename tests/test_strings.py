@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -73,3 +74,111 @@ def test_metaphone_match_series():
     assert s.iloc[0] == 1.0  # smith/smyth same phonetic key
     assert s.iloc[1] == 0.0
     assert s.iloc[2] == 1.0  # both empty first tokens
+
+
+def test_grouped_pair_dots_match_per_pair_oracle():
+    """Round-4 kernel rewrite: the batched sort-merge intersection
+    (_grouped_pair_dots) must reproduce an independent per-pair
+    Counter-dict cosine on randomized token-ish strings, including
+    empty strings, identical-pair (il == ir), and high repetition."""
+    import math
+    import random
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from entity_resolution__spark.functions.features import (
+        MAX_KERNEL_CHARS,
+        compute_feature_struct,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    strings = [""] + [
+        " ".join(rng.choices(vocab, k=rng.randint(1, 60))) for _ in range(30)
+    ]
+    pairs = [(rng.choice(strings), rng.choice(strings)) for _ in range(120)]
+    pairs += [(s, s) for s in strings[:5]]  # identical both sides
+    a = pd.Series([p[0] for p in pairs])
+    b = pd.Series([p[1] for p in pairs])
+    empty = pd.Series([""] * len(pairs))
+    idf = {w: 1.0 + i * 0.01 for i, w in enumerate(vocab)}
+
+    got = compute_feature_struct(a, b, empty, empty, empty, empty, idf)
+
+    def tok_cos(x, y, use_idf):
+        cx, cy = Counter(x.split()), Counter(y.split())
+        def w(c):
+            return {
+                t: (1.0 + math.log(n)) * (idf.get(t, 1.0) if use_idf else 1.0)
+                for t, n in c.items()
+            }
+        wx, wy = (w(cx), w(cy)) if use_idf else (
+            {t: float(n) for t, n in cx.items()},
+            {t: float(n) for t, n in cy.items()},
+        )
+        nx = math.sqrt(sum(v * v for v in wx.values()))
+        ny = math.sqrt(sum(v * v for v in wy.values()))
+        if nx == 0.0 or ny == 0.0:
+            return 1.0
+        return sum(wx[t] * wy[t] for t in wx.keys() & wy.keys()) / (nx * ny)
+
+    def ngram_cos(x, y):
+        x, y = x[:MAX_KERNEL_CHARS], y[:MAX_KERNEL_CHARS]
+        def grams(s):
+            c = Counter()
+            for n in (3, 4, 5):
+                for i in range(len(s) - n + 1):
+                    c[(n, s[i : i + n])] += 1
+            return c
+        cx, cy = grams(x), grams(y)
+        nx = math.sqrt(sum(v * v for v in cx.values()))
+        ny = math.sqrt(sum(v * v for v in cy.values()))
+        if nx == 0.0 or ny == 0.0:
+            return 1.0
+        return sum(cx[g] * cy[g] for g in cx.keys() & cy.keys()) / (nx * ny)
+
+    for i, (x, y) in enumerate(pairs):
+        assert got["token_cosine"][i] == pytest.approx(
+            tok_cos(x, y, False), abs=1e-12
+        ), (x, y)
+        assert got["tfidf_word_cosine"][i] == pytest.approx(
+            tok_cos(x, y, True), abs=1e-12
+        ), (x, y)
+        assert got["tfidf_char_cosine"][i] == pytest.approx(
+            ngram_cos(x, y), abs=1e-12
+        ), (x, y)
+    # identical strings must score exactly 1.0 (dot == norm²)
+    base = len(pairs) - 5
+    for i in range(base, len(pairs)):
+        if pairs[i][0]:
+            assert got["token_cosine"][i] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_kernel_batch_invariance():
+    """Feature values must not depend on batch composition: the same
+    pair computed inside two different batches yields IDENTICAL floats
+    (partition-invariance — the canonical key-order accumulation)."""
+    import pandas as pd
+
+    from entity_resolution__spark.functions.features import compute_feature_struct
+
+    x = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    y = "alpha beta gamma delta other words here too " * 4
+    filler = [
+        ("one two three", "three four five"),
+        ("lorem ipsum dolor", "ipsum dolor sit"),
+        ("", "anything at all"),
+    ]
+    e = ""
+    def run(pairs):
+        a = pd.Series([p[0] for p in pairs])
+        b = pd.Series([p[1] for p in pairs])
+        s = pd.Series([e] * len(pairs))
+        return compute_feature_struct(a, b, s, s, s, s, {"alpha": 1.7, "beta": 2.1})
+
+    solo = run([(x, y)])
+    packed = run(filler + [(x, y)] + filler[::-1])
+    for col in ("token_cosine", "tfidf_word_cosine", "tfidf_char_cosine"):
+        assert solo[col][0] == packed[col][len(filler)]  # bitwise equal
