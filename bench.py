@@ -3,6 +3,9 @@
 Per-round driver contract: run headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], print ONE
 JSON line {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
+The printed line is kept COMPACT (≤ ~1.9 KB — the driver records only a
+~2 KB tail, which truncated round 3's output); every rep, per-stage
+split and load snapshot goes to BENCH_DETAIL.json instead.
 
 Also measures the ER pipeline itself on deterministic synthetic
 transcripts (turns/sec — BASELINE.json.metric). Every ER measurement is
@@ -106,13 +109,16 @@ class _ProcTreeCpuCounter:
     time the instant Spark's python daemon tears it down (and
     cutime-based recovery races the reap / loses reparented orphans —
     observed as NEGATIVE stage CPU right after UDF stages). This
-    counter keeps a per-pid high-water mark and retires a pid's
+    counter keeps a per-process high-water mark and retires a process's
     last-seen total when it disappears, counting utime+stime only (no
     cutime — retiring already covers dead children, double-counting
-    neither)."""
+    neither). Process identity is (pid, starttime) — /proc stat field
+    22 — so a REUSED pid is always a new identity (ADVICE round 3: the
+    old cur<last heuristic missed a reused pid whose successor had
+    already accrued more CPU than the dead worker's total)."""
 
     def __init__(self) -> None:
-        self._last: dict[int, float] = {}
+        self._last: dict[tuple[int, int], float] = {}
         self._retired = 0.0
         self._hz = os.sysconf("SC_CLK_TCK")
 
@@ -120,7 +126,7 @@ class _ProcTreeCpuCounter:
         import glob
 
         me = os.getpid()
-        procs: dict[int, tuple[int, float]] = {}
+        procs: dict[int, tuple[int, int, float]] = {}
         for stat in glob.glob("/proc/[0-9]*/stat"):
             try:
                 with open(stat) as f:
@@ -128,9 +134,10 @@ class _ProcTreeCpuCounter:
                 rp = data.rindex(")")
                 pid = int(data[: data.index(" ")])
                 fields = data[rp + 2 :].split()
-                # after comm: state(0) ppid(1) ... utime(11) stime(12)
+                # after comm: state(0) ppid(1) … utime(11) stime(12)
+                # … starttime(19) (= proc(5) fields 3, 4, 14, 15, 22)
                 cpu = (int(fields[11]) + int(fields[12])) / self._hz
-                procs[pid] = (int(fields[1]), cpu)
+                procs[pid] = (int(fields[1]), int(fields[19]), cpu)
             except (OSError, ValueError, IndexError):
                 continue
 
@@ -140,17 +147,18 @@ class _ProcTreeCpuCounter:
                 if pid == me:
                     return True
                 seen.add(pid)
-                pid = procs.get(pid, (0, 0.0))[0]
+                pid = procs.get(pid, (0, 0, 0.0))[0]
             return False
 
-        live = {p: c for p, (_, c) in procs.items() if is_mine(p)}
-        for pid, last in list(self._last.items()):
-            cur = live.get(pid)
-            if cur is None or cur < last:  # died, or pid reused
+        live = {
+            (p, start): c for p, (_, start, c) in procs.items() if is_mine(p)
+        }
+        for key, last in list(self._last.items()):
+            if key not in live:  # died (pid reuse = different starttime)
                 self._retired += last
-                del self._last[pid]
-        for pid, cur in live.items():
-            self._last[pid] = max(cur, self._last.get(pid, 0.0))
+                del self._last[key]
+        for key, cur in live.items():
+            self._last[key] = max(cur, self._last.get(key, 0.0))
         return self._retired + sum(self._last.values())
 
 
@@ -243,6 +251,51 @@ def run_er_pipeline_subprocess(master: str, shuffle: int, path: str) -> dict:
     )
 
 
+def _write_detail(obj: dict) -> str:
+    """Full-fidelity bench record → BENCH_DETAIL.json (round-3 VERDICT
+    #2: the driver's tail window only captures ~2 KB, so the PRINTED
+    line must stay compact — headline scalars only — while every rep,
+    stage split and load snapshot lands here)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=1)
+    return os.path.basename(path)
+
+
+def _er_summary(run: dict) -> dict:
+    return {
+        "wall_sec": run["wall_sec"],
+        "turns_per_sec": run["turns_per_sec"],
+        "cpu_per_wall": run["cpu_per_wall"],
+        "master": run["master"],
+    }
+
+
+def run_cc_at_size(spark) -> dict:
+    """Distributed connected components at size (round-3 VERDICT #4):
+    ≥1M synthetic chain edges through the large-star/small-star loop
+    (local DSU cutover disabled), wall + round count recorded. Long
+    chains bound the expected rounds at ~log2(chain length)."""
+    from entity_resolution__spark.data.synth import make_chain_edges
+    from entity_resolution__spark.operators.cluster import connected_components
+
+    edges, n_edges, _ = make_chain_edges(spark)
+    t0 = time.monotonic()
+    res = connected_components(edges, local_threshold=0)
+    n_roots = res.assignments.select("root").distinct().count()
+    wall = time.monotonic() - t0
+    return {
+        "edges": n_edges,
+        "wall_sec": round(wall, 2),
+        "iterations": res.cc_iterations
+        if hasattr(res, "cc_iterations")
+        else res.iterations,
+        "components": n_roots,
+    }
+
+
 def main() -> None:
     if len(sys.argv) >= 5 and sys.argv[1] == "--er-child":
         out = run_er_pipeline(sys.argv[2], int(sys.argv[3]), sys.argv[4])
@@ -286,19 +339,26 @@ def main() -> None:
                 (best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]) / ratio, 3
             )
         headline = effs.get(f"efficiency_{levels[0]}_to_{levels[0] * 4}")
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling_efficiency_n_to_4n",
-                    "value": headline,
-                    "unit": "ratio",
-                    **effs,
-                    **{f"local{n}": best[n] for n in levels},
-                    "all_runs": runs,
-                    "entities": SCALING_ENTITIES,
-                }
-            )
+        # per-stage efficiency between the N→4N pair (first two levels)
+        lo, hi = levels[0], levels[1] if len(levels) > 1 else levels[0]
+        stage_eff = {
+            s: round((best[lo]["stages"][s] / best[hi]["stages"][s]) / (hi / lo), 3)
+            for s in best[hi]["stages"]
+            if best[hi]["stages"].get(s) and best[lo]["stages"].get(s)
+        } if hi != lo else {}
+        out = {
+            "metric": "scaling_efficiency_n_to_4n",
+            "value": headline,
+            "unit": "ratio",
+            **effs,
+            "stage_eff": stage_eff,
+            **{f"local{n}": _er_summary(best[n]) for n in levels},
+            "entities": SCALING_ENTITIES,
+        }
+        out["detail"] = _write_detail(
+            {"all_runs": runs, "best": best, "compact": out}
         )
+        print(json.dumps(out))
         return
 
     results: dict[str, float] = {}
@@ -327,6 +387,8 @@ def main() -> None:
         results[name] = round(time.monotonic() - t0, 3)
         query_load[name] = round(os.getloadavg()[0], 2)
         print(f"  {name}: {results[name]}s", file=sys.stderr, flush=True)
+    cc_atsize = run_cc_at_size(spark)
+    print(f"  cc_atsize: {cc_atsize}", file=sys.stderr, flush=True)
     stop_spark()
 
     # ER pipeline throughput: BOTH local[8] (reproducible on this host —
@@ -340,7 +402,13 @@ def main() -> None:
         for _ in range(er_reps)
     ]
     er = max(er_runs, key=lambda r: r["turns_per_sec"])
-    extras: dict = {"er": er, "er_all_runs": er_runs, "query_load_1m": query_load}
+    detail: dict = {
+        "er_all_runs": er_runs,
+        "query_load_1m": query_load,
+        "cc_atsize": cc_atsize,
+    }
+    compact: dict = {"er": _er_summary(er)}
+    er8 = None
     if cpus != 8:
         # same rep count as the local[cpus] leg: a single local[8] run
         # against a best-of-N local[cpus] would bias the efficiency
@@ -350,45 +418,70 @@ def main() -> None:
             for _ in range(er_reps)
         ]
         er8 = max(er8_runs, key=lambda r: r["turns_per_sec"])
-        extras["er_local8"] = er8
-        extras["er_local8_all_runs"] = er8_runs
-        extras["er_scaling_8_to_cpus"] = round(
+        detail["er_local8_all_runs"] = er8_runs
+        compact["er_local8"] = _er_summary(er8)
+        compact["er_scaling_8_to_cpus"] = round(
             (er["turns_per_sec"] / er8["turns_per_sec"]) / (cpus / 8.0), 3
         )
+        # per-stage parallel efficiency, first-class (round-3 VERDICT
+        # #5): wall-based speedup per core ratio between the best runs
+        # at each level; per-stage cpu/wall goes to the detail file so a
+        # contended rep is attributable
+        compact["er_stage_eff"] = {
+            s: round((er8["stages"][s] / er["stages"][s]) / (cpus / 8.0), 3)
+            for s in er["stages"]
+            if er["stages"].get(s) and er8["stages"].get(s)
+        }
+        detail["er_stage_cpw"] = {
+            f"local{n}": {
+                s: round(run["stages_cpu"][s] / run["stages"][s], 2)
+                for s in run["stages"]
+                if run["stages"].get(s)
+            }
+            for n, run in ((8, er8), (cpus, er))
+        }
         best = max([er, er8], key=lambda r: r["turns_per_sec"])
     else:
         best = er
     results["er_pipeline"] = best["wall_sec"]
-    extras["er_best"] = {
+    compact["er_best"] = {
         "master": best["master"],
         "wall_sec": best["wall_sec"],
         "turns_per_sec": best["turns_per_sec"],
     }
     if scaling:
-        er8s = extras.get("er_local8") or run_er_pipeline_subprocess(
-            "local[8]", 8, er_path
-        )
+        er8s = er8 or run_er_pipeline_subprocess("local[8]", 8, er_path)
         er32 = run_er_pipeline_subprocess("local[32]", 32, er_path)
         eff = (er32["turns_per_sec"] / er8s["turns_per_sec"]) / 4.0
-        extras["scaling"] = {
+        detail["scaling"] = {
             "local8": er8s,
             "local32": er32,
             "efficiency_n_to_4n": round(eff, 3),
         }
+        compact["er_scaling_8_to_32"] = round(eff, 3)
 
     total = round(sum(results.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **extras,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **compact,
+        "cc_atsize": {
+            k: cc_atsize[k] for k in ("edges", "wall_sec", "iterations")
+        },
+    }
+    detail["compact"] = out
+    out["detail"] = _write_detail(detail)
+    line = json.dumps(out)
+    if len(line) > 1900:  # stay inside the driver's ~2 KB tail window
+        for drop in ("er_stage_eff", "cc_atsize", "er_local8"):
+            out.pop(drop, None)
+            line = json.dumps(out)
+            if len(line) <= 1900:
+                break
+    print(line)
 
 
 if __name__ == "__main__":

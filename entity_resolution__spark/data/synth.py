@@ -199,3 +199,49 @@ def make_labeled_pairs(
     ).drop_duplicates(["conv_id_a", "conv_id_b"])
     df["label"] = df["label"].astype("int32")
     return df.reset_index(drop=True)
+
+
+def make_chain_edges(
+    spark,
+    n_chains: int = 10_000,
+    chain_len: int = 100,
+    n_long: int = 50,
+    long_len: int = 1_000,
+):
+    """Synthetic edge list for at-size connected-components runs: many
+    short chains plus a few LONG chains (long paths maximize star-loop
+    rounds — the loop halves path diameters per iteration, so expected
+    rounds ≈ log2(long_len)). Node ids are zero-padded strings so
+    lexicographic order equals numeric order and the expected root of
+    every chain is its first node. Returns (edges(src, dst), n_edges,
+    expected(node, root)) — all DataFrames built with spark.range, no
+    driver-side materialization.
+    """
+    from pyspark.sql import functions as F
+
+    stride = chain_len + 1
+
+    def chain(base: int, count: int, length: int):
+        s = length + 1
+        ids = spark.range(count * s)
+        nodes = ids.select(
+            (F.lit(base) + F.col("id")).alias("nid"),
+            (F.lit(base) + (F.col("id") / s).cast("long") * s).alias("rid"),
+            (F.col("id") % s).alias("j"),
+        )
+        fmt = lambda c: F.format_string("n%012d", c)  # noqa: E731
+        edges = nodes.filter(F.col("j") < length).select(
+            fmt(F.col("nid")).alias("src"), fmt(F.col("nid") + 1).alias("dst")
+        )
+        expected = nodes.select(
+            fmt(F.col("nid")).alias("node"), fmt(F.col("rid")).alias("root")
+        )
+        return edges, expected
+
+    e1, x1 = chain(0, n_chains, chain_len)
+    e2, x2 = chain(n_chains * stride, n_long, long_len)
+    return (
+        e1.unionByName(e2),
+        n_chains * chain_len + n_long * long_len,
+        x1.unionByName(x2),
+    )

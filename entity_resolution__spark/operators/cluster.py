@@ -44,12 +44,18 @@ def _resym(e: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """For each node u: connect every neighbor v > u to min(Γ(u) ∪ {u})."""
-    mins = e.groupBy("u").agg(F.min("v").alias("mv"))
-    mins = mins.select("u", F.least("mv", F.col("u")).alias("m"))
+    """For each node u: connect every neighbor v > u to min(Γ(u) ∪ {u}).
+
+    One window over u replaces the round-1-3 groupBy+self-join (two
+    shuffles → one): every row sees its group min in the same exchange
+    that grouped it. Round 4 — at 1M edges the loop's per-iteration
+    shuffle count is the wall-clock term."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u")
     return (
-        e.filter(F.col("v") > F.col("u"))
-        .join(mins, "u")
+        e.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+        .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -57,16 +63,25 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 
 def _small_star(e: DataFrame) -> DataFrame:
-    """Directed edges (u > v): connect all smaller neighbors + u to the min."""
-    mins = e.groupBy("u").agg(F.min("v").alias("m"))
-    rewired = (
-        e.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .union(mins.select(F.col("u"), F.col("m").alias("v")))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
-    return rewired
+    """Directed edges (u > v): connect all smaller neighbors + u to the min.
+
+    Same window-instead-of-join rewrite as _large_star; both output
+    families — (neighbor, min) and (u, min) — are emitted in ONE pass
+    via a per-row explode (the (u, min) duplicates within a group
+    collapse in the final distinct), so the old join + union is gone."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u")
+    base = e.withColumn("m", F.min("v").over(w))
+    pairs = base.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
+    return pairs.filter(F.col("u") != F.col("v")).distinct()
 
 
 def _fingerprint(e: DataFrame) -> tuple[int, int]:

@@ -165,6 +165,170 @@ def label_propagation_communities(
     return labels.select("node", F.col("label").alias("community"))
 
 
+def modularity(edges: DataFrame, labels: DataFrame) -> float:
+    """Weighted Newman modularity Q of a node→community labeling:
+    Q = Σ_c [ in_c/2m − (d_c/2m)² ] with in_c = 2×intra-community edge
+    weight, d_c = total degree in c, m = total undirected edge weight.
+    Distributed: two label joins + one aggregate — quantifies how far
+    the LPA stand-in sits from the reference's Louvain coloring
+    (/root/reference/src/graph/visualize_graph_utils.py:30-42), whose
+    phase-1 objective is exactly this Q.
+
+    edges: (src, dst[, weight]); parallel duplicates deduped by max
+    (same rule as label_propagation_communities). labels: (node,
+    community)."""
+    w_col = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            w_col.alias("w"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.max("w").alias("w"))
+    )
+    lu = labels.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    tagged = e.join(lu, "u").join(lv, "v").localCheckpoint(eager=True)
+    m = tagged.agg(F.sum("w")).collect()[0][0] or 0.0
+    if m == 0.0:
+        return 0.0
+    m2 = 2.0 * m
+    intra = (
+        tagged.filter(F.col("cu") == F.col("cv"))
+        .groupBy("cu")
+        .agg((F.sum("w") * 2.0).alias("in_c"))
+    )
+    deg = (
+        tagged.select(F.col("cu").alias("c"), F.col("w"))
+        .unionByName(tagged.select(F.col("cv").alias("c"), F.col("w")))
+        .groupBy("c")
+        .agg(F.sum("w").alias("d_c"))
+    )
+    rows = deg.join(
+        intra.withColumnRenamed("cu", "c"), "c", "left"
+    ).select(
+        F.coalesce(F.col("in_c"), F.lit(0.0)).alias("in_c"), "d_c"
+    ).agg(
+        F.sum(F.col("in_c") / F.lit(m2) - (F.col("d_c") / F.lit(m2)) ** 2)
+    ).collect()
+    return float(rows[0][0])
+
+
+def refine_communities(
+    edges: DataFrame, labels: DataFrame, max_communities: int = 100_000
+) -> DataFrame:
+    """One CNM-style modularity-refinement pass over the COMMUNITY graph
+    (round-3 VERDICT #7): aggregate inter-community weights + degrees
+    (distributed — node count never touches the driver), then greedily
+    merge the community pair with the largest ΔQ while ΔQ > 0.
+    ΔQ(c,d) = 2·w_cd/2m − 2·(d_c/2m)·(d_d/2m) — Louvain's phase-2 merge
+    criterion applied once on top of the LPA labeling, closing the
+    known LPA failure mode of OVER-splitting; it provably never merges
+    two dense communities across a weak bridge (ΔQ < 0 there, see
+    tests). The community graph is collected with a limit probe —
+    communities ≪ nodes by construction; refuse rather than OOM."""
+    w_col = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            w_col.alias("w"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.max("w").alias("w"))
+    )
+    lu = labels.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    tagged = e.join(lu, "u").join(lv, "v").localCheckpoint(eager=True)
+    cg = (
+        tagged.select(
+            F.least("cu", "cv").alias("c1"),
+            F.greatest("cu", "cv").alias("c2"),
+            "w",
+        )
+        .groupBy("c1", "c2")
+        .agg(F.sum("w").alias("w"))
+    )
+    cg_rows = cg.limit(max_communities * 20 + 1).collect()
+    if len(cg_rows) > max_communities * 20:
+        raise ValueError(
+            "refine_communities: community graph exceeds the driver "
+            f"budget ({max_communities * 20} edges); run LPA with more "
+            "iterations or raise max_communities explicitly"
+        )
+    m = sum(r["w"] for r in cg_rows)
+    if m == 0.0:
+        return labels
+    m2 = 2.0 * m
+    deg: dict = {}
+    inter: dict = {}
+    for r in cg_rows:
+        c1, c2, w = r["c1"], r["c2"], r["w"]
+        deg[c1] = deg.get(c1, 0.0) + w
+        deg[c2] = deg.get(c2, 0.0) + w
+        if c1 != c2:
+            inter[(c1, c2)] = inter.get((c1, c2), 0.0) + w
+    # greedy merge: relabel to min community id, union-find over merges
+    parent: dict = {c: c for c in deg}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    while inter:
+        # deterministic greedy: max ΔQ, ties broken by smallest pair
+        # (iteration in sorted order + strict improvement)
+        best, best_dq = None, 1e-12
+        for (c1, c2), w in sorted(inter.items()):
+            dq = 2.0 * w / m2 - 2.0 * (deg[c1] / m2) * (deg[c2] / m2)
+            if dq > best_dq:
+                best, best_dq = (c1, c2), dq
+        if best is None:
+            break
+        a, b = best
+        keep, gone = (a, b) if a < b else (b, a)
+        parent[find(gone)] = find(keep)
+        deg[keep] = deg[a] + deg[b]
+        del deg[gone]
+        merged: dict = {}
+        for (c1, c2), w in inter.items():
+            r1 = keep if c1 == gone else c1
+            r2 = keep if c2 == gone else c2
+            if r1 == r2:
+                continue
+            key = (r1, r2) if r1 < r2 else (r2, r1)
+            merged[key] = merged.get(key, 0.0) + w
+        inter = merged
+    mapping = [(c, find(c)) for c in parent]
+    spark = labels.sparkSession
+    node_type = labels.schema["community"].dataType
+    from pyspark.sql import types as T
+
+    map_df = spark.createDataFrame(
+        mapping,
+        T.StructType(
+            [
+                T.StructField("community", node_type),
+                T.StructField("new_community", node_type),
+            ]
+        ),
+    )
+    return (
+        labels.join(F.broadcast(map_df), "community", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("new_community"), F.col("community")).alias(
+                "community"
+            ),
+        )
+    )
+
+
 def to_gexf(
     nodes: DataFrame,
     edges: DataFrame,

@@ -36,8 +36,50 @@ def fingerprint(params: dict[str, Any]) -> str:
     ).hexdigest()[:16]
 
 
+class _StageStoreContract:
+    """Shared resume-or-compute logic over any snapshot backend: a
+    backend provides manifest()/read()/commit(); this mixin provides the
+    fingerprint gate both backends must agree on (so the kill-and-rerun
+    tests run identically against parquet+manifests and Iceberg)."""
+
+    def is_current(self, stage: str, fp: str) -> bool:
+        m = self.manifest(stage)
+        return bool(m and m.get("fingerprint") == fp and m.get("committed"))
+
+    def stage(
+        self,
+        spark: SparkSession,
+        name: str,
+        params: dict[str, Any],
+        compute,
+        lineage: list[str] | None = None,
+    ) -> DataFrame:
+        """Resume-or-compute: reuse the committed snapshot when the
+        fingerprint matches, else run `compute()` and commit.
+
+        The fingerprint folds in the CURRENT committed snapshot id of
+        every lineage stage (round-3 review: it previously hashed
+        params only, so a direct caller whose upstream recomputed got a
+        stale resume — pipeline.py had to fold lineage in by hand; the
+        module contract says 'params + input snapshot ids', and now
+        stage() enforces it for every caller)."""
+        fp = fingerprint(
+            {
+                **params,
+                "__lineage_snapshots": {
+                    dep: (self.manifest(dep) or {}).get("snapshot_id")
+                    for dep in (lineage or [])
+                },
+            }
+        )
+        if self.is_current(name, fp):
+            return self.read(spark, name)
+        df = compute()
+        return self.commit(df, name, fp, lineage=lineage)
+
+
 @dataclass
-class StageStore:
+class StageStore(_StageStoreContract):
     root: str
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:8])
 
@@ -53,10 +95,6 @@ class StageStore:
             return None
         with open(p) as f:
             return json.load(f)
-
-    def is_current(self, stage: str, fp: str) -> bool:
-        m = self.manifest(stage)
-        return bool(m and m.get("fingerprint") == fp and m.get("committed"))
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         m = self.manifest(stage)
@@ -130,33 +168,103 @@ class StageStore:
             shutil.rmtree(os.path.join(stage_dir, d), ignore_errors=True)
         return out
 
-    def stage(
-        self,
-        spark: SparkSession,
-        name: str,
-        params: dict[str, Any],
-        compute,
-        lineage: list[str] | None = None,
-    ) -> DataFrame:
-        """Resume-or-compute: reuse the committed snapshot when the
-        fingerprint matches, else run `compute()` and commit.
 
-        The fingerprint folds in the CURRENT committed snapshot id of
-        every lineage stage (round-3 review: it previously hashed
-        params only, so a direct caller whose upstream recomputed got a
-        stale resume — pipeline.py had to fold lineage in by hand; the
-        module contract says 'params + input snapshot ids', and now
-        stage() enforces it for every caller)."""
-        fp = fingerprint(
-            {
-                **params,
-                "__lineage_snapshots": {
-                    dep: (self.manifest(dep) or {}).get("snapshot_id")
-                    for dep in (lineage or [])
-                },
-            }
+@dataclass
+class IcebergStageStore(_StageStoreContract):
+    """The same stage contract on a real Iceberg catalog (north_rule:
+    'checkpointing each stage to Iceberg'): each stage is an Iceberg
+    table, commit() is an atomic createOrReplace (one Iceberg snapshot),
+    and the {fingerprint, lineage, metrics} manifest rides in table
+    properties so resume needs no side files. Per-partition row counts
+    come from the `.files` metadata table — the numbers StageStore reads
+    from parquet footers, Iceberg keeps in its manifests.
+
+    Requires the iceberg-spark runtime jars and a configured catalog
+    (e.g. spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog
+    + type=hadoop + warehouse=<path> — settable at runtime, catalogs are
+    lazily resolved). Where the jars are absent every operation raises
+    at first catalog touch; tests/test_pipeline.py's contract test skips
+    in that case (this container ships no Iceberg jars — the parquet
+    StageStore remains the default backend)."""
+
+    spark: SparkSession
+    catalog: str
+    namespace: str = "er_stages"
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:8])
+
+    PROP = "er.stage.manifest"
+
+    def __post_init__(self) -> None:
+        self.spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {self.catalog}.{self.namespace}"
         )
-        if self.is_current(name, fp):
-            return self.read(spark, name)
-        df = compute()
-        return self.commit(df, name, fp, lineage=lineage)
+
+    def _table(self, stage: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}"
+
+    def manifest(self, stage: str) -> dict | None:
+        try:
+            rows = self.spark.sql(
+                f"SHOW TBLPROPERTIES {self._table(stage)}"
+            ).collect()
+        except Exception:  # table (or stage) does not exist yet
+            return None
+        props = {r["key"]: r["value"] for r in rows}
+        raw = props.get(self.PROP)
+        return json.loads(raw) if raw else None
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        m = self.manifest(stage)
+        if not m:
+            raise FileNotFoundError(f"no committed snapshot for stage {stage}")
+        return spark.table(self._table(stage))
+
+    def commit(
+        self,
+        df: DataFrame,
+        stage: str,
+        fp: str,
+        lineage: list[str] | None = None,
+        extra_metrics: dict | None = None,
+    ) -> DataFrame:
+        t0 = time.monotonic()
+        table = self._table(stage)
+        df.writeTo(table).using("iceberg").createOrReplace()
+        spark = df.sparkSession
+        snap = spark.sql(
+            f"SELECT snapshot_id FROM {table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        snap_id = str(snap[0]["snapshot_id"]) if snap else "unknown"
+        per_part = [
+            {
+                "partition_id": i,
+                "file": os.path.basename(r["file_path"]),
+                "rows": int(r["record_count"]),
+            }
+            for i, r in enumerate(
+                spark.sql(
+                    f"SELECT file_path, record_count FROM {table}.files "
+                    "ORDER BY file_path"
+                ).collect()
+            )
+        ]
+        manifest = {
+            "stage": stage,
+            "snapshot_id": snap_id,
+            "fingerprint": fp,
+            "run_id": self.run_id,
+            "committed": True,
+            "lineage": lineage or [],
+            "metrics": {
+                "rows_out": sum(p["rows"] for p in per_part),
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+                **(extra_metrics or {}),
+            },
+            "partitions": per_part,
+        }
+        blob = json.dumps(manifest).replace("'", "''")
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES ('{self.PROP}' = '{blob}')"
+        )
+        return spark.table(table)

@@ -207,3 +207,31 @@ def test_self_loop_parity_local_vs_distributed(spark):
     lrows = {(r["node"], r["root"]) for r in local.assignments.collect()}
     drows = {(r["node"], r["root"]) for r in dist.assignments.collect()}
     assert lrows == drows == {("a", "a"), ("b", "a")}
+
+
+def test_distributed_cc_at_size(spark):
+    """Round-4 VERDICT #4: exercise the star loop AT SIZE — >100k chain
+    edges (bench runs the same generator at 1.05M), forced past the DSU
+    cutover. Asserts (a) the distributed path actually ran, (b) round
+    count stays ~log2(longest chain), (c) assignments equal BOTH the
+    analytic expectation (chain root = first node) and the driver DSU
+    oracle."""
+    from entity_resolution__spark.data.synth import make_chain_edges
+    from entity_resolution__spark.operators.cluster import (
+        _local_dsu_components,
+    )
+
+    edges, n_edges, expected = make_chain_edges(
+        spark, n_chains=1200, chain_len=100, n_long=4, long_len=800
+    )
+    assert n_edges == 1200 * 100 + 4 * 800
+    res = connected_components(edges, local_threshold=0)
+    assert res.iterations > 0  # the star loop ran
+    # diameter halves per round: ~log2(800) + fixpoint detection slack
+    assert res.iterations <= math.ceil(math.log2(800)) + 4
+    got = res.assignments
+    assert got.count() == 1200 * 101 + 4 * 801
+    assert got.join(expected, ["node", "root"]).count() == got.count()
+    dsu = _local_dsu_components(edges)
+    assert got.join(dsu, ["node", "root"]).count() == got.count()
+    assert dsu.count() == got.count()

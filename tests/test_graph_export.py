@@ -123,3 +123,73 @@ def test_to_gexf_string(spark):
     # still carry O(n²) edges into the driver)
     with pytest.raises(ValueError, match="max_edges"):
         to_gexf(nodes, edges, max_edges=2)
+
+
+def test_modularity_pinned_values(spark):
+    """Q on the two-K4 + unit-bridge fixture against hand-computed
+    values: the 2-community partition scores 2·(12/26 − (13/26)²) =
+    11/26 ≈ 0.423077; the everything-in-one partition scores exactly 0.
+    Quantifies G7's deviation surface vs the reference's Louvain
+    (visualize_graph_utils.py:30-42) whose phase-1 objective is Q."""
+    from itertools import combinations
+
+    import pytest as _pytest
+
+    from entity_resolution__spark.operators.graph_export import modularity
+
+    rows = [(u, v, 1.0) for u, v in combinations("abcd", 2)]
+    rows += [(u, v, 1.0) for u, v in combinations("efgh", 2)]
+    rows += [("d", "e", 1.0)]
+    edges = spark.createDataFrame(rows, ["src", "dst", "weight"])
+    split = spark.createDataFrame(
+        [(n, "L") for n in "abcd"] + [(n, "R") for n in "efgh"],
+        ["node", "community"],
+    )
+    merged = spark.createDataFrame(
+        [(n, "X") for n in "abcdefgh"], ["node", "community"]
+    )
+    assert modularity(edges, split) == _pytest.approx(11.0 / 26.0, abs=1e-12)
+    assert modularity(edges, merged) == _pytest.approx(0.0, abs=1e-12)
+
+
+def test_refine_communities_merges_oversplit_not_weak_bridge(spark):
+    """The CNM refinement pass (a) merges an OVERSPLIT K4 (halved labels
+    → whole-clique labels, strictly higher Q), (b) refuses to merge two
+    K4s across a weak bridge (ΔQ < 0), and (c) does merge them across a
+    strong bridge (ΔQ > 0) — the Louvain phase-2 criterion both ways."""
+    from itertools import combinations
+
+    from entity_resolution__spark.operators.graph_export import (
+        modularity,
+        refine_communities,
+    )
+
+    def k4s(bridge_w):
+        rows = [(u, v, 1.0) for u, v in combinations("abcd", 2)]
+        rows += [(u, v, 1.0) for u, v in combinations("efgh", 2)]
+        rows += [("d", "e", bridge_w)]
+        return spark.createDataFrame(rows, ["src", "dst", "weight"])
+
+    # (a)+(b): weak bridge, each K4 oversplit into halves
+    oversplit = spark.createDataFrame(
+        [("a", "L1"), ("b", "L1"), ("c", "L2"), ("d", "L2"),
+         ("e", "R1"), ("f", "R1"), ("g", "R2"), ("h", "R2")],
+        ["node", "community"],
+    )
+    weak = k4s(0.1)
+    refined = refine_communities(weak, oversplit)
+    got = {r["node"]: r["community"] for r in refined.collect()}
+    assert len({got[n] for n in "abcd"}) == 1
+    assert len({got[n] for n in "efgh"}) == 1
+    assert {got[n] for n in "abcd"} != {got[n] for n in "efgh"}  # (b)
+    assert modularity(weak, refined) > modularity(weak, oversplit)
+
+    # (c): strong bridge → the bridge IS merged across (ΔQ(L2,R1) =
+    # 40/64 − 2·(26/64)(26/64) ≈ +0.295, the largest gain) and Q rises;
+    # greedy CNM then legitimately stops — further merges all have
+    # ΔQ < 0 from where it stands (single-pass greedy, not exhaustive)
+    strong = k4s(20.0)
+    refined2 = refine_communities(strong, oversplit)
+    got2 = {r["node"]: r["community"] for r in refined2.collect()}
+    assert got2["d"] == got2["e"]
+    assert modularity(strong, refined2) > modularity(strong, oversplit)

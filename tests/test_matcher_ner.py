@@ -232,3 +232,59 @@ def test_cluster_edges_chain_star(spark):
     assert star == {("a", "b"), ("a", "c")}
     with pytest.raises(ValueError):
         cluster_edges(clusters, "ring")
+
+
+def test_spacy_adapter_contract(spark):
+    """SpacyAdapter satisfies the injected-factory contract end-to-end
+    through the mapInPandas seam WITHOUT spaCy installed: a stub nlp
+    exposing the spaCy surface the adapter touches (pipe() → docs with
+    .ents of .text/.label_) stands in for the real Language object."""
+    from entity_resolution__spark.operators.ner import (
+        SpacyAdapter,
+        extract_entities,
+    )
+
+    class Ent:
+        def __init__(self, text, label):
+            self.text, self.label_ = text, label
+
+    class Doc:
+        def __init__(self, ents):
+            self.ents = ents
+
+    class FakeNlp:
+        def pipe(self, texts):
+            return [
+                Doc([Ent(w, "ORG") for w in t.split() if w.istitle()])
+                for t in texts
+            ]
+
+    df = spark.createDataFrame(
+        [("c1", "Acme hired Bob from Initech"), ("c2", "nothing capitalized")],
+        ["conv_id", "full_text"],
+    )
+    rows = {
+        r["conv_id"]: r["entities"]
+        for r in extract_entities(
+            df, model_factory=lambda: SpacyAdapter(FakeNlp())
+        ).collect()
+    }
+    assert [(e["text"], e["label"]) for e in rows["c1"]] == [
+        ("Acme", "ORG"),
+        ("Bob", "ORG"),
+        ("Initech", "ORG"),
+    ]
+    assert rows["c2"] == []
+
+
+def test_spacy_adapter_real_if_available(spark):
+    """Runs the real spaCy load chain when spaCy is importable (skips
+    cleanly in this container): the factory must yield a working pipe()
+    even with no model packages downloaded (blank-English fallback)."""
+    pytest.importorskip("spacy")
+    from entity_resolution__spark.operators.ner import spacy_model_factory
+
+    adapter = spacy_model_factory()()
+    out = adapter.pipe(["Apple is a company", ""])
+    assert isinstance(out, list) and len(out) == 2
+    assert all(isinstance(ents, list) for ents in out)
