@@ -449,6 +449,29 @@ def q_cohort_clusters(spark, sf):
     )
 
 
+def q_graph_modularity(spark, sf):
+    """Weighted Newman modularity of the connected-component labeling
+    over the near-dup graph (edge weight = shingle jaccard). Exercises
+    the round-4 G7 modularity operator end-to-end with a value check:
+    components maximize intra-edges by construction, so Q reduces to
+    1 − Σ_c (d_c/2m)² — the DuckDB oracle computes the same sum from
+    the recursive-closure labeling. Single-row result."""
+    from entity_resolution__spark.operators.cluster import connected_components
+    from entity_resolution__spark.operators.graph_export import modularity
+
+    edges = _neardup_pairs(spark, sf, n=3, threshold=0.2).select(
+        F.col("id_left").cast("string").alias("src"),
+        F.col("id_right").cast("string").alias("dst"),
+        F.col("jaccard").alias("weight"),
+    )
+    cc = connected_components(edges.select("src", "dst"))
+    labels = cc.assignments.select(
+        F.col("node"), F.col("root").alias("community")
+    )
+    q = modularity(edges, labels)
+    return spark.createDataFrame([(round(q, 6),)], "modularity double")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_stats": q_tokenize_stats,
@@ -474,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "cc_clusters": q_cc_clusters,
         "cohort_clusters": q_cohort_clusters,
+        "graph_modularity": q_graph_modularity,
     }
 
 
@@ -868,6 +892,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.node AS doc_id, i.cluster_id,
                    count(*) OVER (PARTITION BY i.cluster_id) AS cluster_size
             FROM roots r JOIN ids i USING (root)
+        """,
+        # graph_modularity (round 4): weighted Newman Q of the CC
+        # labeling over the near-dup graph — same closure as cc_clusters
+        # (edge nodes only), Q = Σ_c [in_c/2m − (d_c/2m)²] with edge
+        # weight = shingle jaccard, rounded to 6 after the full sum
+        "graph_modularity": f"""
+            WITH RECURSIVE {shingle_cte}, sym AS (
+              SELECT id_left::VARCHAR AS u, id_right::VARCHAR AS v FROM edges
+              UNION
+              SELECT id_right::VARCHAR AS u, id_left::VARCHAR AS v FROM edges
+            ), reach (a, b) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+            ), roots AS (
+              SELECT a AS node, least(a, min(b)) AS root
+              FROM reach GROUP BY a
+            ), ew AS (
+              SELECT id_left::VARCHAR AS u, id_right::VARCHAR AS v,
+                     jaccard AS w
+              FROM edges
+            ), tot AS (SELECT sum(w) AS m FROM ew),
+            intra AS (
+              SELECT ru.root AS c, 2.0 * sum(w) AS in_c
+              FROM ew
+              JOIN roots ru ON ru.node = ew.u
+              JOIN roots rv ON rv.node = ew.v
+              WHERE ru.root = rv.root
+              GROUP BY 1
+            ), deg AS (
+              SELECT r.root AS c, sum(t.w) AS d_c
+              FROM (
+                SELECT u AS node, w FROM ew
+                UNION ALL
+                SELECT v AS node, w FROM ew
+              ) t
+              JOIN roots r ON r.node = t.node
+              GROUP BY 1
+            )
+            SELECT round(sum(coalesce(in_c, 0) / (2 * m)
+                             - (d_c / (2 * m)) * (d_c / (2 * m))), 6)
+                   AS modularity
+            FROM deg LEFT JOIN intra USING (c) CROSS JOIN tot
         """,
         # simhash (round 3; was rows-only): md5-based bit-majority vote
         # reproduced per hex digit — each md5 hex char carries 4 simhash

@@ -60,8 +60,15 @@ def capped_salted_self_join(
     """
     spark = keyed.sparkSession
     w = Window.partitionBy(*key_cols)
-    sized = keyed.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(
-        F.col("_bsz") <= max_bucket
+    # MATERIALIZE the sized bucket table once: four plan branches
+    # consume it (small l/r, salted lhs/rhs) and would each re-evaluate
+    # the full upstream (e.g. the dedup path's 14 minhash columns)
+    # otherwise. On a cluster this boundary is a staged table
+    # (plans.checkpoint.StageStore); localCheckpoint is the local analog.
+    sized = (
+        keyed.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .localCheckpoint(eager=True)
     )
     small = sized.filter(F.col("_bsz") <= salt_threshold).drop("_bsz")
     big = sized.filter(F.col("_bsz") > salt_threshold).drop("_bsz")
