@@ -296,10 +296,39 @@ def run_cc_at_size(spark) -> dict:
     }
 
 
+def run_cc_at_size_subprocess(master: str, shuffle: int) -> dict:
+    """cc_atsize in a FRESH subprocess (same isolation rationale as the
+    ER legs): measured in-session after the query sweep it ran 2.4×
+    slower than standalone — heap pressure and accumulated checkpoint
+    blocks from 15 queries are not properties of the CC loop."""
+    import subprocess
+
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cc-child",
+         master, str(shuffle)],
+        capture_output=True, text=True, env=os.environ.copy(),
+        timeout=1800,
+    )
+    for line in (p.stdout or "").splitlines():
+        if line.startswith("CCJSON "):
+            return json.loads(line[len("CCJSON "):])
+    raise RuntimeError(
+        f"cc child failed rc={p.returncode}\n{(p.stderr or '')[-2000:]}"
+    )
+
+
 def main() -> None:
     if len(sys.argv) >= 5 and sys.argv[1] == "--er-child":
         out = run_er_pipeline(sys.argv[2], int(sys.argv[3]), sys.argv[4])
         print("ERJSON " + json.dumps(out), flush=True)
+        return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--cc-child":
+        spark = get_spark(
+            "bench-cc", master=sys.argv[2], shuffle_partitions=int(sys.argv[3])
+        )
+        out = run_cc_at_size(spark)
+        stop_spark()
+        print("CCJSON " + json.dumps(out), flush=True)
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -387,9 +416,9 @@ def main() -> None:
         results[name] = round(time.monotonic() - t0, 3)
         query_load[name] = round(os.getloadavg()[0], 2)
         print(f"  {name}: {results[name]}s", file=sys.stderr, flush=True)
-    cc_atsize = run_cc_at_size(spark)
-    print(f"  cc_atsize: {cc_atsize}", file=sys.stderr, flush=True)
     stop_spark()
+    cc_atsize = run_cc_at_size_subprocess(f"local[{cpus}]", cpus)
+    print(f"  cc_atsize: {cc_atsize}", file=sys.stderr, flush=True)
 
     # ER pipeline throughput: BOTH local[8] (reproducible on this host —
     # 8 threads stay under the fair-share throttle) and best-of-reps at
