@@ -472,6 +472,39 @@ def q_graph_modularity(spark, sf):
     return spark.createDataFrame([(round(q, 6),)], "modularity double")
 
 
+def q_pack_sequences(spark, sf):
+    """GPT-style concat-and-chunk packing layout over documents:
+    per-document (shard, offset, bin_start, bin_end) at seq_len=512.
+    Shard = doc_id % 8 here (portable expression so the DuckDB oracle
+    reproduces the exact layout; production default is xxhash64)."""
+    from entity_resolution__spark.operators.packing import pack_documents
+
+    d = _t(spark, sf, "documents")
+    return pack_documents(
+        d, seq_len=512, n_shards=8, shard=F.pmod(F.col("doc_id"), F.lit(8))
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.col("offset").cast("long").alias("offset"),
+        "bin_start",
+        "bin_end",
+    )
+
+
+def q_packing_stats(spark, sf):
+    from entity_resolution__spark.operators.packing import (
+        pack_documents,
+        packing_stats,
+    )
+
+    d = _t(spark, sf, "documents")
+    packed = pack_documents(
+        d, seq_len=512, n_shards=8, shard=F.pmod(F.col("doc_id"), F.lit(8))
+    )
+    return packing_stats(packed, seq_len=512)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_stats": q_tokenize_stats,
@@ -498,6 +531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_clusters": q_cc_clusters,
         "cohort_clusters": q_cohort_clusters,
         "graph_modularity": q_graph_modularity,
+        "pack_sequences": q_pack_sequences,
+        "packing_stats": q_packing_stats,
     }
 
 
@@ -935,6 +970,48 @@ def oracle_sql() -> dict[str, str]:
                              - (d_c / (2 * m)) * (d_c / (2 * m))), 6)
                    AS modularity
             FROM deg LEFT JOIN intra USING (c) CROSS JOIN tot
+        """,
+        # pack_sequences / packing_stats (round 4): concat-and-chunk
+        # packing layout — running token sum per shard (ORDER BY doc_id)
+        # sliced into seq_len=512 windows; shard = doc_id % 8 on both
+        # sides so the layout is engine-reproducible
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     len(regexp_extract_all(text,
+                         '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, shard, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT doc_id, shard, n_tokens::BIGINT AS n_tokens,
+                   (cum - n_tokens)::BIGINT AS "offset",
+                   floor((cum - n_tokens) / 512)::BIGINT AS bin_start,
+                   CASE WHEN n_tokens > 0
+                        THEN floor((cum - 1) / 512)::BIGINT
+                        ELSE floor((cum - n_tokens) / 512)::BIGINT
+                   END AS bin_end
+            FROM c
+        """,
+        "packing_stats": r"""
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     len(regexp_extract_all(text,
+                         '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tokens
+              FROM documents
+            ), s AS (
+              SELECT shard, count(*) AS n_docs,
+                     sum(n_tokens)::BIGINT AS total_tokens,
+                     ceil(sum(n_tokens) / 512.0)::BIGINT AS n_windows
+              FROM t GROUP BY shard
+            )
+            SELECT shard, n_docs, total_tokens, n_windows,
+                   round(total_tokens / (n_windows * 512)::DOUBLE, 6)
+                     AS fill_ratio
+            FROM s
         """,
         # simhash (round 3; was rows-only): md5-based bit-majority vote
         # reproduced per hex digit — each md5 hex char carries 4 simhash

@@ -1,0 +1,99 @@
+"""Sequence packing for training-data pipelines (concat-and-chunk).
+
+Pretraining dataloaders concatenate documents into a token stream per
+shard and slice fixed `seq_len` windows off it (GPT-style packing —
+documents may CROSS window boundaries). The operator computes, fully
+declaratively, where every document lands in that layout:
+
+  shard     — hash bucket (the unit of concatenation; a worker's stream)
+  offset    — the document's start position in its shard's token stream
+  bin_start — first seq_len window the document touches
+  bin_end   — last window it touches (== bin_start when it fits in one)
+
+One hash shuffle on the shard key + one running-sum window per shard —
+no UDF, no driver state; at 100 TB the shard count is chosen so each
+shard's stream fits a task (AQE splits stragglers). Deterministic:
+the within-shard order is the sort on the id column, so the layout is
+reproducible run-to-run and engine-to-engine (the DuckDB oracle
+recomputes it exactly).
+
+The reference has no packing stage (its corpus is one CSV of short
+strings); this extends the engine's training-data family (dedup /
+quality / token-budget) per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from entity_resolution__spark.operators.textstats import bpe_ish_count
+
+
+def pack_documents(
+    df: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count: Column | None = None,
+    shard: Column | None = None,
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, offset, bin_start, bin_end) per doc.
+
+    `token_count` defaults to the BPE-ish counter (regex token classes);
+    `shard` defaults to pmod(xxhash64(id), n_shards) — pass a portable
+    expression (e.g. id % n_shards) when an external system must
+    reproduce the layout. Zero-token documents occupy no stream space:
+    they are pinned to bin_end = bin_start at their offset."""
+    n_tok = (token_count if token_count is not None else bpe_ish_count(F.col(text_col)))
+    shard_expr = (
+        shard
+        if shard is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    )
+    base = df.select(
+        F.col(id_col),
+        shard_expr.cast("long").alias("shard"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    offset = (cum - F.col("n_tokens")).alias("offset")
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        offset,
+        F.floor((cum - F.col("n_tokens")) / seq_len).cast("long").alias("bin_start"),
+        F.when(F.col("n_tokens") > 0, F.floor((cum - 1) / seq_len))
+        .otherwise(F.floor((cum - F.col("n_tokens")) / seq_len))
+        .cast("long")
+        .alias("bin_end"),
+    )
+
+
+def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Per-shard packing summary: documents, token totals, windows used
+    (= ceil(stream length / seq_len)), and fill ratio of the last-window
+    padding model — the numbers a dataloader capacity plan needs."""
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.ceil(F.sum("n_tokens") / F.lit(seq_len)).cast("long").alias("n_windows"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(
+                F.col("total_tokens")
+                / (F.col("n_windows") * F.lit(seq_len)).cast("double"),
+                6,
+            ),
+        )
+    )

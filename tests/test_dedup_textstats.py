@@ -176,3 +176,53 @@ def test_acronyms_reference_semantics(spark):
     assert got[2] == ["4not", "specified"]
     assert got[3] == ["att"]
     assert got[4] == []
+
+
+def test_pack_documents_layout(spark):
+    """Concat-and-chunk packing: offsets are per-shard running sums in
+    id order; documents crossing a window boundary span bins; empty
+    docs occupy no stream space (bin_end == bin_start)."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution__spark.operators.packing import (
+        pack_documents,
+        packing_stats,
+    )
+
+    rows = [
+        (0, "a " * 300),   # 300 tokens → bins 0..2 (crosses 100-token windows)
+        (2, "b " * 50),    # starts at 300 → bins 3..3
+        (4, ""),           # zero tokens at 350 → bin 3..3
+        (6, "c " * 60),    # 350..409 → bins 3..4
+        (1, "d " * 10),    # other shard, offset 0 → bin 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in pack_documents(
+            df,
+            seq_len=100,
+            n_shards=2,
+            shard=F.pmod(F.col("doc_id"), F.lit(2)),
+        ).collect()
+    }
+    assert (out[0]["offset"], out[0]["bin_start"], out[0]["bin_end"]) == (0, 0, 2)
+    assert (out[2]["offset"], out[2]["bin_start"], out[2]["bin_end"]) == (300, 3, 3)
+    assert (out[4]["offset"], out[4]["bin_start"], out[4]["bin_end"]) == (350, 3, 3)
+    assert (out[6]["offset"], out[6]["bin_start"], out[6]["bin_end"]) == (350, 3, 4)
+    assert (out[1]["offset"], out[1]["bin_start"], out[1]["bin_end"]) == (0, 0, 0)
+
+    stats = {
+        r["shard"]: r
+        for r in packing_stats(
+            pack_documents(
+                df, seq_len=100, n_shards=2,
+                shard=F.pmod(F.col("doc_id"), F.lit(2)),
+            ),
+            seq_len=100,
+        ).collect()
+    }
+    assert stats[0]["n_docs"] == 4 and stats[0]["total_tokens"] == 410
+    assert stats[0]["n_windows"] == 5
+    assert stats[0]["fill_ratio"] == 0.82
+    assert stats[1]["n_windows"] == 1 and stats[1]["fill_ratio"] == 0.1
