@@ -72,3 +72,38 @@ def write_to_landing(
         .outputMode("append")
         .start()
     )
+
+
+def signature_deduped_docs(
+    stream: DataFrame,
+    n_hashes: int = 4,
+    watermark: str = "10 minutes",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming near-exact document dedup: drop documents whose k-hash
+    MinHash signature matches an earlier document inside the watermark.
+
+    The streaming analog of the batch dedup family: a full LSH near-dup
+    (any-band collision + jaccard rerank) is inherently pairwise and
+    stays batch; what CAN stream with bounded state is keyed dedup on
+    the concatenated k-hash signature — two docs collide with
+    probability J^k (J = token-set jaccard), so k=4 drops exact and
+    token-reordered duplicates always (J=1), J=0.9 near-dups ~66% of
+    the time, and unrelated docs essentially never. State is evicted by
+    the watermark (dropDuplicatesWithinWatermark — same bounded-state
+    rationale as deduped_turns), so the key store holds one signature
+    per distinct doc per watermark window, not per corpus."""
+    from entity_resolution__spark.operators.dedup import minhash_md5
+    from entity_resolution__spark.operators.textstats import tokens_col
+
+    toks = tokens_col(F.col(text_col))
+    sig = F.md5(
+        F.concat_ws("|", *[minhash_md5(toks, s) for s in range(n_hashes)])
+    )
+    return (
+        stream.withColumn("_sig", sig)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_sig"])
+        .drop("_sig")
+    )

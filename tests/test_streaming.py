@@ -37,3 +37,49 @@ def test_stream_dedup_turns(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select count(*) n from turns_dedup_test").collect()[0]["n"]
     assert got == len(pdf)  # exactly one row per (conv_id, turn_idx)
+
+
+def test_stream_signature_dedup_docs(spark, tmp_path):
+    """Streaming MinHash-signature dedup: exact duplicates AND
+    token-permuted duplicates (same token set → same signature) are
+    dropped inside the watermark; distinct docs survive."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from entity_resolution__spark.streaming.ingest import (
+        signature_deduped_docs,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", t0),
+        (1, "the quick brown fox jumps over the lazy dog", t0),  # exact dup
+        (2, "lazy dog the over jumps fox brown quick the", t0),  # permuted dup
+        (3, "completely different content about spark engines", t0),
+    ]
+    src = str(tmp_path / "docs_src")
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sdf = spark.createDataFrame(pdf, schema="doc_id long, text string, ts timestamp")
+    sdf.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("doc_id long, text string, ts timestamp")
+        .load(src)
+    )
+    out = signature_deduped_docs(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sig_dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sig"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select doc_id from sig_dedup_test").collect()
+    kept = sorted(r["doc_id"] for r in got)
+    assert len(kept) == 2
+    assert 3 in kept and kept[0] in (0, 1, 2)
