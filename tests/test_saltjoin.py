@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from itertools import combinations
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from entity_resolution__spark.operators.saltjoin import (
@@ -138,3 +140,46 @@ def test_dropped_hot_buckets_audit(spark):
     df = spark.createDataFrame(rows, ["id", "bk"])
     dropped = dropped_hot_buckets(df, ["bk"], max_bucket=10).collect()
     assert [(r["bk"], r["bucket_size"]) for r in dropped] == [("hot", 50)]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.sampled_from("abcd")),
+        min_size=0,
+        max_size=120,
+    ),
+    st.integers(2, 5),  # salt_threshold (tiny → triangle path exercised)
+    st.integers(2, 4),  # n_salts
+    st.integers(5, 40),  # max_bucket
+)
+def test_property_matches_naive(spark, rows, salt_threshold, n_salts, max_bucket):
+    """Randomized parity: for ANY key assignment and (cap, salt, S)
+    combination, the helper emits exactly the naive within-bucket pair
+    set minus over-cap buckets — each surviving pair once per shared
+    key."""
+    keyed = [(f"i{i:03d}", k) for i, k in set(rows)]
+    df = spark.createDataFrame(keyed or [("x", "a")], ["id", "bk"])
+    if not keyed:
+        df = df.filter("id != id")
+    got = sorted(
+        (r["id_left"], r["id_right"], r["bk"])
+        for r in capped_salted_self_join(
+            df,
+            ["bk"],
+            id_col="id",
+            max_bucket=max_bucket,
+            salt_threshold=salt_threshold,
+            n_salts=n_salts,
+        ).collect()
+    )
+    by_key: dict = {}
+    for i, k in keyed:
+        by_key.setdefault(k, []).append(i)
+    want = sorted(
+        (a, b, k)
+        for k, members in by_key.items()
+        if len(members) <= max_bucket
+        for a, b in combinations(sorted(members), 2)
+    )
+    assert got == want

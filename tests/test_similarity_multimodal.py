@@ -133,3 +133,39 @@ def test_multimodal_stub_raises_without_fake(spark):
     )
     with pytest.raises(Exception):  # NotImplementedError inside the UDF
         extract_features(media, deterministic_fake=False).collect()
+
+
+def test_ivf_topk_search(spark, emb):
+    """End-to-end IVF search: with ALL lists probed the result equals
+    brute_topk exactly (the pruning is the only approximation); with
+    1 probe list the probe vector's own nearest neighbors (same
+    cluster) still surface — the standard recall trade."""
+    from entity_resolution__spark.operators.similarity import (
+        brute_topk,
+        ivf_assign,
+        ivf_topk,
+        train_centroids_sample,
+    )
+
+    df, rows = emb
+    C = train_centroids_sample(df, n_centroids=4, sample=50)
+    probe = rows[0][1]
+    assigned = df.sparkSession.createDataFrame(
+        ivf_assign(df, C).collect(),
+        ivf_assign(df, C).schema,
+    )  # pin assignment so both calls share it
+
+    exact = [(r["vec_id"], r["cos_sim"]) for r in brute_topk(df, probe, k=5).collect()]
+    full = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ivf_topk(df, C, probe, k=5, n_probe=4, assigned=assigned).collect()
+    ]
+    assert full == exact
+
+    one = [
+        r["vec_id"]
+        for r in ivf_topk(df, C, probe, k=5, n_probe=1, assigned=assigned).collect()
+    ]
+    # recall@5 of single-probe IVF vs exact must be nontrivial (the
+    # probe's own cluster dominates its neighborhood)
+    assert len(set(one) & {v for v, _ in exact}) >= 2
