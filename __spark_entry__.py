@@ -505,6 +505,32 @@ def q_packing_stats(spark, sf):
     return packing_stats(packed, seq_len=512)
 
 
+def q_clean_corpus(spark, sf):
+    """Composite training-data materialization in one declarative plan:
+    quality floor (≥10 tokens) → exact dedup (keep min doc_id per
+    md5(text)) → near-dup drop (a doc dominated as the GREATER side of
+    any shingle-jaccard≥0.2 pair is removed — deterministic, keeps each
+    near-dup chain's minimum). All joins are keyed semi/anti joins off
+    the shared staged near-dup table; at 100 TB this is the exact
+    clean-corpus pass a pretraining pipeline runs nightly."""
+    from entity_resolution__spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf, "documents")
+    toks = _toks(F.col("text"))
+    keep_exact = exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    nd_dropped = (
+        _neardup_pairs(spark, sf, n=3, threshold=0.2)
+        .select(F.col("id_right").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        d.join(keep_exact, "doc_id", "left_semi")
+        .join(nd_dropped, "doc_id", "left_anti")
+        .filter(F.size(toks) >= 10)
+        .select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_stats": q_tokenize_stats,
@@ -533,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "pack_sequences": q_pack_sequences,
         "packing_stats": q_packing_stats,
+        "clean_corpus": q_clean_corpus,
     }
 
 
@@ -970,6 +997,23 @@ def oracle_sql() -> dict[str, str]:
                              - (d_c / (2 * m)) * (d_c / (2 * m))), 6)
                    AS modularity
             FROM deg LEFT JOIN intra USING (c) CROSS JOIN tot
+        """,
+        # clean_corpus (round 4): the composite quality -> exact-dedup ->
+        # near-dup pass; near-dup drop rule = remove any doc appearing
+        # as the GREATER side of a jaccard>=0.2 pair (same edges CTE)
+        "clean_corpus": f"""
+            WITH {shingle_cte}, keepex AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ), nd AS (
+              SELECT DISTINCT id_right AS doc_id FROM edges
+            ), toks AS (
+              SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+            )
+            SELECT t.doc_id, t.n_tokens::BIGINT AS n_tokens
+            FROM toks t
+            JOIN keepex USING (doc_id)
+            LEFT JOIN nd ON nd.doc_id = t.doc_id
+            WHERE nd.doc_id IS NULL AND t.n_tokens >= 10
         """,
         # pack_sequences / packing_stats (round 4): concat-and-chunk
         # packing layout — running token sum per shard (ORDER BY doc_id)
