@@ -81,13 +81,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_md5(tokens: Column, seed: int) -> Column:
-    """Portable MinHash: min md5 hex of (seed:token) over distinct tokens."""
+def minhash_md5(tokens: Column, seed: int, assume_distinct: bool = False) -> Column:
+    """Portable MinHash: min md5 hex of (seed:token) over distinct tokens.
+
+    `assume_distinct=True` skips the per-column array_distinct — min
+    over a multiset equals min over its set, so results are identical,
+    but a caller building k minhash columns over an ALREADY-distinct
+    array (ngram_jaccard_pairs' shingle keys) otherwise pays k
+    re-deduplications per row (Catalyst does not CSE the subexpression
+    across projection columns)."""
+    base = tokens if assume_distinct else F.array_distinct(tokens)
     return F.array_min(
-        F.transform(
-            F.array_distinct(tokens),
-            lambda t: F.md5(F.concat(F.lit(f"{seed}:"), t)),
-        )
+        F.transform(base, lambda t: F.md5(F.concat(F.lit(f"{seed}:"), t)))
     )
 
 
@@ -326,7 +331,10 @@ def ngram_jaccard_pairs(
             n_salts=n_salts,
         ).select("id_left", "id_right")
     else:
-        mh = [minhash_md5(F.col("sh"), s).alias(f"mh_{s}") for s in range(n_full)]
+        mh = [
+            minhash_md5(F.col("sh"), s, assume_distinct=True).alias(f"mh_{s}")
+            for s in range(n_full)
+        ]
         sig = base.select("id", *mh)
         bands = []
         for b in range(0, n_full, band_size):
