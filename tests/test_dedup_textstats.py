@@ -226,3 +226,39 @@ def test_pack_documents_layout(spark):
     assert stats[0]["n_windows"] == 5
     assert stats[0]["fill_ratio"] == 0.82
     assert stats[1]["n_windows"] == 1 and stats[1]["fill_ratio"] == 0.1
+
+
+def test_round4_operators_empty_inputs(spark):
+    """Empty-input probes for the round-4 operator family (the verify
+    recipe's 'edge probes that matter'): no crashes, empty/zero results."""
+    from entity_resolution__spark.operators.dedup import (
+        exact_dedup,
+        ngram_jaccard_pairs,
+    )
+    from entity_resolution__spark.operators.graph_export import (
+        modularity,
+        refine_communities,
+    )
+    from entity_resolution__spark.operators.packing import (
+        pack_documents,
+        packing_stats,
+    )
+    from entity_resolution__spark.operators.saltjoin import (
+        capped_salted_self_join,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert pack_documents(empty_docs).count() == 0
+    assert packing_stats(pack_documents(empty_docs), 512).count() == 0
+    assert exact_dedup(empty_docs).count() == 0
+    assert ngram_jaccard_pairs(empty_docs).count() == 0
+    assert (
+        capped_salted_self_join(
+            spark.createDataFrame([], "id string, bk string"), ["bk"], id_col="id"
+        ).count()
+        == 0
+    )
+    no_edges = spark.createDataFrame([], "src string, dst string")
+    no_labels = spark.createDataFrame([], "node string, community string")
+    assert modularity(no_edges, no_labels) == 0.0
+    assert refine_communities(no_edges, no_labels).count() == 0
