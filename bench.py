@@ -455,12 +455,19 @@ def main() -> None:
         # per-stage parallel efficiency, first-class (round-3 VERDICT
         # #5): wall-based speedup per core ratio between the best runs
         # at each level; per-stage cpu/wall goes to the detail file so a
-        # contended rep is attributable
+        # contended rep is attributable. The ratio is only meaningful
+        # when BOTH legs actually obtained their threads — this host
+        # fair-share-throttles sustained 32-thread bursts (cpu/wall ≪
+        # cores), and an efficiency between a clean and a throttled leg
+        # measures the throttle, not the engine; the marker says which.
         compact["er_stage_eff"] = {
             s: round((er8["stages"][s] / er["stages"][s]) / (cpus / 8.0), 3)
             for s in er["stages"]
             if er["stages"].get(s) and er8["stages"].get(s)
         }
+        compact["er_stage_eff_valid"] = bool(
+            er["cpu_per_wall"] >= 0.5 * cpus and er8["cpu_per_wall"] >= 0.5 * 8
+        )
         detail["er_stage_cpw"] = {
             f"local{n}": {
                 s: round(run["stages_cpu"][s] / run["stages"][s], 2)
