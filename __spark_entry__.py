@@ -531,6 +531,19 @@ def q_clean_corpus(spark, sf):
     )
 
 
+def q_token_budget_mix(spark, sf):
+    """Pretraining data-mixing sampler over documents: per-lang token
+    budgets (en 20k, de 8k, fr 5k), docs taken in id order until each
+    group's budget is crossed (boundary doc kept — budgets are floors).
+    Langs without a budget contribute nothing."""
+    from entity_resolution__spark.operators.packing import token_budget_sample
+
+    d = _t(spark, sf, "documents")
+    return token_budget_sample(
+        d, budgets={"en": 20_000, "de": 8_000, "fr": 5_000}
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_stats": q_tokenize_stats,
@@ -560,6 +573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "packing_stats": q_packing_stats,
         "clean_corpus": q_clean_corpus,
+        "token_budget_mix": q_token_budget_mix,
     }
 
 
@@ -1014,6 +1028,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN keepex USING (doc_id)
             LEFT JOIN nd ON nd.doc_id = t.doc_id
             WHERE nd.doc_id IS NULL AND t.n_tokens >= 10
+        """,
+        # token_budget_mix (round 4): per-lang running token sum, keep
+        # while the total BEFORE the doc is under the lang's budget
+        "token_budget_mix": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     len(regexp_extract_all(text,
+                         '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_tokens,
+                     CASE lang WHEN 'en' THEN 20000 WHEN 'de' THEN 8000
+                               WHEN 'fr' THEN 5000 ELSE 0 END AS budget
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang, n_tokens, budget,
+                     sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM t
+            )
+            SELECT doc_id, lang, n_tokens, cum_tokens::BIGINT AS cum_tokens
+            FROM c WHERE cum_tokens - n_tokens < budget
         """,
         # pack_sequences / packing_stats (round 4): concat-and-chunk
         # packing layout — running token sum per shard (ORDER BY doc_id)

@@ -97,3 +97,47 @@ def packing_stats(packed: DataFrame, seq_len: int) -> DataFrame:
             ),
         )
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_count: Column | None = None,
+) -> DataFrame:
+    """Data-mixing sampler: take documents per group (in id order) until
+    the group's TOKEN budget is reached — how a pretraining mixture
+    ("20M tokens of en, 8M of de, …") is materialized from a corpus.
+
+    Deterministic take rule: a document is kept iff the group's running
+    token total BEFORE it is still under the budget — so the document
+    that crosses the boundary is included (budgets are floors, the
+    standard mixture semantics) and the selection is reproducible under
+    any shuffle. Groups without a budget contribute nothing. One hash
+    shuffle on the group key + one running-sum window — the same shape
+    as pack_documents, composable with it downstream.
+
+    Returns (id, group, n_tokens, cum_tokens) for the kept documents.
+    """
+    n_tok = (
+        token_count if token_count is not None else bpe_ish_count(F.col(text_col))
+    )
+    bmap = F.create_map(
+        *[x for k, v in sorted(budgets.items()) for x in (F.lit(k), F.lit(int(v)))]
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        n_tok.cast("long").alias("n_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return base.filter(
+        (F.col("cum_tokens") - F.col("n_tokens"))
+        < F.coalesce(bmap[F.col(group_col)], F.lit(0)).cast("long")
+    )

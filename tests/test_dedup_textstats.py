@@ -262,3 +262,23 @@ def test_round4_operators_empty_inputs(spark):
     no_labels = spark.createDataFrame([], "node string, community string")
     assert modularity(no_edges, no_labels) == 0.0
     assert refine_communities(no_edges, no_labels).count() == 0
+
+
+def test_token_budget_sample_boundary(spark):
+    """Mixture sampler: the doc crossing the budget boundary is KEPT
+    (budgets are floors), later docs dropped, unbudgeted groups empty."""
+    from entity_resolution__spark.operators.packing import token_budget_sample
+
+    rows = [
+        (0, "en", "a " * 40),   # 40 tokens, cum 40  < 100 → keep
+        (1, "en", "b " * 50),   # cum_prev 40 < 100 → keep (cum 90)
+        (2, "en", "c " * 30),   # cum_prev 90 < 100 → keep (crosses, cum 120)
+        (3, "en", "d " * 10),   # cum_prev 120 ≥ 100 → drop
+        (4, "xx", "e " * 5),    # no budget → drop
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in token_budget_sample(df, budgets={"en": 100}).collect()
+    )
+    assert got == [(0, 40), (1, 90), (2, 120)]
