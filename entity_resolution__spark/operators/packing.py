@@ -106,6 +106,7 @@ def token_budget_sample(
     id_col: str = "doc_id",
     text_col: str = "text",
     token_count: Column | None = None,
+    range_shard: Column | None = None,
 ) -> DataFrame:
     """Data-mixing sampler: take documents per group (in id order) until
     the group's TOKEN budget is reached — how a pretraining mixture
@@ -115,9 +116,18 @@ def token_budget_sample(
     token total BEFORE it is still under the budget — so the document
     that crosses the boundary is included (budgets are floors, the
     standard mixture semantics) and the selection is reproducible under
-    any shuffle. Groups without a budget contribute nothing. One hash
-    shuffle on the group key + one running-sum window — the same shape
-    as pack_documents, composable with it downstream.
+    any shuffle. Groups without a budget contribute nothing.
+
+    Scale: the default path runs ONE running-sum window partitioned by
+    the group — groups are few (languages/sources), so at 10¹² docs a
+    whole group would land on one task. Pass `range_shard` — any
+    expression MONOTONE in the id within each group (e.g.
+    `doc_id // 10**7` for dense int ids, a date bucket for time-ordered
+    ids) — to switch to the two-phase prefix-sum form: per-(group,
+    shard) token sums (a small aggregate) give each shard its broadcast
+    prefix offset, and the running sum runs per (group, shard) — every
+    window partition is shard-bounded. Results are IDENTICAL (the
+    prefix decomposition of the same running sum; parity-tested).
 
     Returns (id, group, n_tokens, cum_tokens) for the kept documents.
     """
@@ -127,17 +137,44 @@ def token_budget_sample(
     bmap = F.create_map(
         *[x for k, v in sorted(budgets.items()) for x in (F.lit(k), F.lit(int(v)))]
     )
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    base = df.select(
+    budget = F.coalesce(bmap[F.col(group_col)], F.lit(0)).cast("long")
+    cols = [
         F.col(id_col),
         F.col(group_col),
         n_tok.cast("long").alias("n_tokens"),
-    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    return base.filter(
-        (F.col("cum_tokens") - F.col("n_tokens"))
-        < F.coalesce(bmap[F.col(group_col)], F.lit(0)).cast("long")
-    )
+    ]
+    if range_shard is None:
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        base = df.select(*cols).withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w)
+        )
+    else:
+        base = df.select(*cols, range_shard.cast("long").alias("_shard"))
+        shard_sums = base.groupBy(group_col, "_shard").agg(
+            F.sum("n_tokens").alias("_shard_tokens")
+        )
+        w_sh = (
+            Window.partitionBy(group_col)
+            .orderBy("_shard")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        prefixes = shard_sums.withColumn(
+            "_prefix", F.sum("_shard_tokens").over(w_sh) - F.col("_shard_tokens")
+        ).select(group_col, "_shard", "_prefix")
+        w_in = (
+            Window.partitionBy(group_col, "_shard")
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        base = (
+            base.join(F.broadcast(prefixes), [group_col, "_shard"])
+            .withColumn(
+                "cum_tokens", F.col("_prefix") + F.sum("n_tokens").over(w_in)
+            )
+            .select(id_col, group_col, "n_tokens", "cum_tokens")
+        )
+    return base.filter((F.col("cum_tokens") - F.col("n_tokens")) < budget)

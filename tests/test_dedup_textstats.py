@@ -282,3 +282,32 @@ def test_token_budget_sample_boundary(spark):
         for r in token_budget_sample(df, budgets={"en": 100}).collect()
     )
     assert got == [(0, 40), (1, 90), (2, 120)]
+
+
+def test_token_budget_sample_two_phase_parity(spark):
+    """The shard-prefix (scale) form must return exactly the single-
+    window form's rows and cum_tokens for any id-monotone shard."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from entity_resolution__spark.operators.packing import token_budget_sample
+
+    rng = random.Random(9)
+    rows = [
+        (i, rng.choice(["en", "de", "xx"]), "w " * rng.randint(0, 30))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    budgets = {"en": 700, "de": 300}
+    single = sorted(
+        tuple(r) for r in token_budget_sample(df, budgets).collect()
+    )
+    two_phase = sorted(
+        tuple(r)
+        for r in token_budget_sample(
+            df, budgets, range_shard=F.col("doc_id") / 7
+        ).collect()
+    )
+    assert single == two_phase
+    assert len(single) > 0
