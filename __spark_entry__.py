@@ -535,12 +535,21 @@ def q_token_budget_mix(spark, sf):
     """Pretraining data-mixing sampler over documents: per-lang token
     budgets (en 20k, de 8k, fr 5k), docs taken in id order until each
     group's budget is crossed (boundary doc kept — budgets are floors).
-    Langs without a budget contribute nothing."""
+    Langs without a budget contribute nothing.
+
+    Computed through the TWO-PHASE shard-prefix branch (range_shard =
+    doc_id // 64, monotone in doc_id) — the scale path that bounds every
+    window partition to one shard (round-4 VERDICT #4: the oracle gate
+    previously exercised only the single-window path; the sharded form
+    is identical by prefix decomposition, so the same DuckDB SQL checks
+    it hash-exactly)."""
     from entity_resolution__spark.operators.packing import token_budget_sample
 
     d = _t(spark, sf, "documents")
     return token_budget_sample(
-        d, budgets={"en": 20_000, "de": 8_000, "fr": 5_000}
+        d,
+        budgets={"en": 20_000, "de": 8_000, "fr": 5_000},
+        range_shard=F.floor(F.col("doc_id") / 64),
     )
 
 

@@ -282,13 +282,27 @@ def run_cc_at_size(spark) -> dict:
     from entity_resolution__spark.operators.cluster import connected_components
 
     edges, n_edges, _ = make_chain_edges(spark)
+    load0 = os.getloadavg()[0]
+    cpu0 = _proc_tree_cpu()
     t0 = time.monotonic()
     res = connected_components(edges, local_threshold=0)
     n_roots = res.assignments.select("root").distinct().count()
     wall = time.monotonic() - t0
+    cpu = _proc_tree_cpu() - cpu0
     return {
         "edges": n_edges,
         "wall_sec": round(wall, 2),
+        # round-4 VERDICT #3: without CPU accounting a throttled 485 s
+        # rep is indistinguishable from the 76 s clean number. The CC
+        # loop is barrier/shuffle-bound, so even a clean run obtains
+        # well under the full thread count — the calibrated clean
+        # cpu_per_wall at local[32] on a quiet host is ~4-6; a
+        # fair-share-throttled rep drops below ~1.5 with ambient load
+        # riding high. valid = plausibly-clean measurement.
+        "cpu_sec": round(cpu, 1),
+        "cpu_per_wall": round(cpu / wall, 2),
+        "load_1m_start": round(load0, 2),
+        "valid": bool(cpu / wall >= 1.5 and load0 < 8.0),
         "iterations": res.cc_iterations
         if hasattr(res, "cc_iterations")
         else res.iterations,
@@ -505,7 +519,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **compact,
         "cc_atsize": {
-            k: cc_atsize[k] for k in ("edges", "wall_sec", "iterations")
+            k: cc_atsize[k]
+            for k in ("edges", "wall_sec", "iterations", "cpu_per_wall", "valid")
         },
     }
     detail["compact"] = out

@@ -279,6 +279,60 @@ def metaphone(word: str) -> str:  # noqa: C901 - algorithm is a rule table
 
 
 # ---------------------------------------------------------------------------
+# optional C-accelerated path (rapidfuzz) — round-4 VERDICT #6
+# ---------------------------------------------------------------------------
+# jaro + LCS are ~60% of the kernel's single-thread CPU; two pure-python
+# batched rewrites measured SLOWER (round 4), so the remaining lever is a
+# compiled kernel. rapidfuzz computes the exact same published
+# definitions (Indel ratio = 2·LCS/(|a|+|b|), LCSseq length,
+# Jaro-Winkler with prefix 4 / weight 0.1 / boost 0.7): when the library
+# is importable AND an import-time probe confirms exact agreement with
+# the pure kernels on a vector battery, the Series forms route through
+# rapidfuzz.process.cpdist (releases the GIL, C loop). The pure-python
+# kernels stay the oracle path — this container has no rapidfuzz, so CI
+# exercises the fallback; the parity pytest self-skips.
+# SPARK_GRAFT_PURE_KERNELS=1 forces the fallback for A/B measurement.
+
+_RF = None  # module handle when the accelerated path is live
+
+
+def _probe_rapidfuzz():
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_PURE_KERNELS") == "1":
+        return None
+    try:
+        from rapidfuzz.distance import Indel as _Indel
+        from rapidfuzz.distance import LCSseq as _LCSseq
+        from rapidfuzz.distance import JaroWinkler as _JW
+        from rapidfuzz import process as _process
+    except ImportError:
+        return None
+    battery = [
+        ("", ""), ("", "abc"), ("martha", "marhta"), ("dixon", "dicksonx"),
+        ("jellyfish", "smellyfish"), ("ABCVWXYZ", "CABVWUXYZ"),
+        ("duane", "dwayne"), ("a" * 70 + "b", "b" + "a" * 70),
+        ("kitten", "sitting"), ("résumé", "resume"), ("x", "x"),
+    ]
+    for a, b in battery:
+        if _LCSseq.similarity(a, b) != lcs_len(a, b):
+            return None
+        if _JW.similarity(a, b) != jaro_winkler(a, b):
+            return None
+        if _Indel.normalized_similarity(a, b) != edit_ratio(a, b):
+            return None
+    return {
+        "LCSseq": _LCSseq,
+        "JW": _JW,
+        "Indel": _Indel,
+        "process": _process,
+    }
+
+
+_RF = _probe_rapidfuzz()
+
+
+# ---------------------------------------------------------------------------
 # batch (Series) forms — shared by pandas UDFs and the test oracle
 # ---------------------------------------------------------------------------
 
@@ -289,7 +343,25 @@ def pair_series(fn, a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.fromiter((fn(x, y) for x, y in zip(av, bv)), dtype=np.float64, count=len(av)))
 
 
+def edit_ratio_kernel():
+    """Scalar edit_ratio — the rapidfuzz C implementation when the
+    import-time parity probe passed, else the pure-python kernel. For
+    per-distinct-combo call sites (features._dedup_pair_kernel) where a
+    Series form doesn't fit."""
+    if _RF is not None:
+        return _RF["Indel"].normalized_similarity
+    return edit_ratio
+
+
 def edit_ratio_series(a: pd.Series, b: pd.Series) -> pd.Series:
+    if _RF is not None and len(a):
+        av = a.fillna("").astype(str).to_numpy()
+        bv = b.fillna("").astype(str).to_numpy()
+        return pd.Series(
+            _RF["process"].cpdist(
+                av, bv, scorer=_RF["Indel"].normalized_similarity, workers=1
+            ).astype(np.float64)
+        )
     return pair_series(edit_ratio, a, b)
 
 
@@ -309,6 +381,21 @@ def indel_and_lcs_series(
     av = a.fillna("").astype(str).to_numpy()
     bv = b.fillna("").astype(str).to_numpy()
     n = len(av)
+    if _RF is not None and n:
+        # one C-side LCSseq pass; both ratios are numpy arithmetic over
+        # the integer LCS lengths (identical formulas to the loop below)
+        lcs = _RF["process"].cpdist(
+            av, bv, scorer=_RF["LCSseq"].similarity, dtype=np.int64, workers=1
+        ).astype(np.float64)
+        la = np.fromiter((len(x) for x in av), dtype=np.int64, count=n)
+        lb = np.fromiter((len(x) for x in bv), dtype=np.int64, count=n)
+        tot = la + lb
+        both_empty = tot == 0
+        er = np.where(both_empty, 1.0, 2.0 * lcs / np.maximum(tot, 1))
+        mx = np.maximum(la, lb)
+        lr = np.where(both_empty, 1.0, lcs / np.maximum(mx, 1))
+        lr = np.where((la == 0) ^ (lb == 0), 0.0, lr)
+        return pd.Series(er), pd.Series(lr)
     er = np.empty(n)
     lr = np.empty(n)
     for i in range(n):
@@ -324,6 +411,14 @@ def indel_and_lcs_series(
 
 
 def jaro_winkler_series(a: pd.Series, b: pd.Series) -> pd.Series:
+    if _RF is not None and len(a):
+        av = a.fillna("").astype(str).to_numpy()
+        bv = b.fillna("").astype(str).to_numpy()
+        return pd.Series(
+            _RF["process"].cpdist(
+                av, bv, scorer=_RF["JW"].similarity, workers=1
+            ).astype(np.float64)
+        )
     return pair_series(jaro_winkler, a, b)
 
 

@@ -280,30 +280,69 @@ def refine_communities(
             x = parent[x]
         return x
 
-    while inter:
-        # deterministic greedy: max ΔQ, ties broken by smallest pair
-        # (iteration in sorted order + strict improvement)
-        best, best_dq = None, 1e-12
-        for (c1, c2), w in sorted(inter.items()):
-            dq = 2.0 * w / m2 - 2.0 * (deg[c1] / m2) * (deg[c2] / m2)
-            if dq > best_dq:
-                best, best_dq = (c1, c2), dq
-        if best is None:
-            break
-        a, b = best
-        keep, gone = (a, b) if a < b else (b, a)
+    # Max-heap with lazy invalidation (round-4 ADVICE: the previous
+    # full re-sort of `inter` per merge was O(merges × E log E) driver
+    # time — a merge-heavy labeling at the 2M-edge budget could stall
+    # the driver). Entries carry the (w, deg, deg) snapshot they were
+    # computed from; a popped entry whose snapshot is stale is
+    # recomputed and re-pushed rather than acted on, so every ACCEPTED
+    # merge uses exact current values. Tie-break matches the old code:
+    # equal ΔQ → smallest (c1, c2) pops first (tuple order). Neighbor
+    # iteration is sorted so float-sum order — and therefore the merge
+    # sequence — is independent of set/hash iteration order.
+    import heapq
+
+    nbrs: dict = {}
+    for c1, c2 in inter:
+        nbrs.setdefault(c1, set()).add(c2)
+        nbrs.setdefault(c2, set()).add(c1)
+
+    def dq_of(c1, c2, w):
+        return 2.0 * w / m2 - 2.0 * (deg[c1] / m2) * (deg[c2] / m2)
+
+    heap = [
+        (-dq_of(c1, c2, w), c1, c2, w, deg[c1], deg[c2])
+        for (c1, c2), w in sorted(inter.items())
+    ]
+    heapq.heapify(heap)
+    while heap:
+        ndq, c1, c2, w0, d1, d2 = heapq.heappop(heap)
+        key = (c1, c2)
+        if key not in inter:
+            continue  # pair merged away
+        w = inter[key]
+        if w != w0 or deg[c1] != d1 or deg[c2] != d2:
+            heapq.heappush(
+                heap, (-dq_of(c1, c2, w), c1, c2, w, deg[c1], deg[c2])
+            )
+            continue
+        if -ndq <= 1e-12:
+            break  # heap max is exact and non-improving: done
+        keep, gone = (c1, c2) if c1 < c2 else (c2, c1)
         parent[find(gone)] = find(keep)
-        deg[keep] = deg[a] + deg[b]
+        deg[keep] = deg[c1] + deg[c2]
         del deg[gone]
-        merged: dict = {}
-        for (c1, c2), w in inter.items():
-            r1 = keep if c1 == gone else c1
-            r2 = keep if c2 == gone else c2
-            if r1 == r2:
-                continue
-            key = (r1, r2) if r1 < r2 else (r2, r1)
-            merged[key] = merged.get(key, 0.0) + w
-        inter = merged
+        del inter[key]
+        nbrs[keep].discard(gone)
+        nbrs[gone].discard(keep)
+        for x in sorted(nbrs.pop(gone, set())):
+            old_key = (gone, x) if gone < x else (x, gone)
+            wx = inter.pop(old_key)
+            nbrs[x].discard(gone)
+            new_key = (keep, x) if keep < x else (x, keep)
+            inter[new_key] = inter.get(new_key, 0.0) + wx
+            nbrs[keep].add(x)
+            nbrs[x].add(keep)
+        # deg[keep] (and possibly weights) changed: refresh every pair
+        # incident to keep — pairs not touching keep are unaffected
+        # (ΔQ(x,y) depends only on w_xy, deg_x, deg_y)
+        for x in sorted(nbrs.get(keep, ())):
+            k2 = (keep, x) if keep < x else (x, keep)
+            wk = inter[k2]
+            heapq.heappush(
+                heap,
+                (-dq_of(k2[0], k2[1], wk), k2[0], k2[1], wk, deg[k2[0]], deg[k2[1]]),
+            )
     mapping = [(c, find(c)) for c in parent]
     spark = labels.sparkSession
     node_type = labels.schema["community"].dataType

@@ -134,6 +134,117 @@ def _fit_stumps(
     return base, stumps
 
 
+def _tree_predict(node: tuple, Z: np.ndarray) -> np.ndarray:
+    """Vectorized traversal of a nested ("leaf", v) / ("split", j, t, l, r)
+    tree over the standardized feature matrix."""
+    if node[0] == "leaf":
+        return np.full(len(Z), node[1])
+    _, j, t, left, right = node
+    mask = Z[:, j] <= t
+    out = np.empty(len(Z))
+    out[mask] = _tree_predict(left, Z[mask])
+    out[~mask] = _tree_predict(right, Z[~mask])
+    return out
+
+
+@dataclass
+class BoostedTreeMatcher:
+    """Fixed-depth Newton-boosted trees — closes the declared M1
+    capacity gap between depth-1 stumps and the reference's depth-6
+    XGBoost (models/pairwise_classifier.py:271-279). Same quantile
+    candidate grid and Newton split objective as the stump fit, grown
+    greedily to ``depth`` levels; no RNG anywhere, ties resolved by scan
+    order, so (data, params) → bit-identical model. Same predict_proba/
+    threshold/feature_cols surface as TrainedMatcher/BoostedMatcher."""
+
+    base: float
+    trees: list  # nested ("leaf", v) | ("split", j, t, left, right)
+    mean: np.ndarray
+    std: np.ndarray
+    threshold: float
+    feature_cols: list[str]
+    metrics: dict
+
+    def predict_proba(self, X: pd.DataFrame) -> np.ndarray:
+        Z = (X[self.feature_cols].to_numpy(dtype=np.float64) - self.mean) / self.std
+        z = np.full(len(Z), self.base)
+        for tree in self.trees:
+            z += _tree_predict(tree, Z)
+        return 1.0 / (1.0 + np.exp(-z))
+
+
+def _scale_leaves(node: tuple, lr: float) -> tuple:
+    if node[0] == "leaf":
+        return ("leaf", node[1] * lr)
+    _, j, t, left, right = node
+    return ("split", j, t, _scale_leaves(left, lr), _scale_leaves(right, lr))
+
+
+def _fit_one_tree(
+    X: np.ndarray, g: np.ndarray, h: np.ndarray, cand: list, depth: int
+) -> tuple:
+    """One depth-limited regression tree on (gradient, hessian) with
+    Newton leaf values G/H — XGBoost's exact-greedy objective restricted
+    to the fixed per-feature quantile grid. Splits that would leave a
+    side empty are skipped; a node with no valid split becomes a leaf."""
+
+    def build(idx: np.ndarray, d: int) -> tuple:
+        G = g[idx].sum()
+        H = max(h[idx].sum(), 1e-9)
+        if d == 0 or len(idx) < 2:
+            return ("leaf", G / H)
+        best = None
+        for j in range(X.shape[1]):
+            xj = X[idx, j]
+            for t in cand[j]:
+                mask = xj <= t
+                nl = int(mask.sum())
+                if nl == 0 or nl == len(idx):
+                    continue
+                gl = g[idx[mask]].sum()
+                hl = max(h[idx[mask]].sum(), 1e-9)
+                gr = G - gl
+                hr = max(H - hl, 1e-9)
+                gain = gl * gl / hl + gr * gr / hr
+                if best is None or gain > best[0] + 1e-12:
+                    best = (gain, j, float(t), mask)
+        if best is None:
+            return ("leaf", G / H)
+        _, j, t, mask = best
+        return ("split", j, t, build(idx[mask], d - 1), build(idx[~mask], d - 1))
+
+    return build(np.arange(len(g)), depth)
+
+
+def _fit_trees(
+    X: np.ndarray,
+    y: np.ndarray,
+    rounds: int = 60,
+    lr: float = 0.3,
+    n_bins: int = 16,
+    depth: int = 2,
+) -> tuple[float, list]:
+    """Newton tree boosting at fixed depth — the depth>1 generalization
+    of ``_fit_stumps`` (same grid, same logistic g/h, same base score)."""
+    n, d = X.shape
+    cand = [
+        np.unique(np.quantile(X[:, j], np.linspace(0.05, 0.95, n_bins)))
+        for j in range(d)
+    ]
+    p0 = float(np.clip(y.mean(), 1e-6, 1.0 - 1e-6))
+    base = float(np.log(p0 / (1.0 - p0)))
+    Fv = np.full(n, base)
+    trees: list = []
+    for _ in range(rounds):
+        p = 1.0 / (1.0 + np.exp(-Fv))
+        g = y - p
+        h = np.maximum(p * (1.0 - p), 1e-6)
+        tree = _scale_leaves(_fit_one_tree(X, g, h, cand, depth), lr)
+        Fv += _tree_predict(tree, X)
+        trees.append(tree)
+    return base, trees
+
+
 def roc_auc(y: np.ndarray, s: np.ndarray) -> float:
     """Rank-based AUC (Mann-Whitney), ties averaged — numpy only."""
     order = np.argsort(s, kind="mergesort")
@@ -202,12 +313,16 @@ def train_matcher(
     n_folds: int = 5,
     seed: int = 42,
     model: str = "logreg",
-) -> TrainedMatcher | BoostedMatcher:
+    depth: int = 1,
+) -> TrainedMatcher | BoostedMatcher | BoostedTreeMatcher:
     """5-fold stratified OOF CV → F1-optimal threshold → refit on all
     (reference M1+M2, pairwise_classifier.py:284-371). Deterministic in
     (data, seed). ``model``: "logreg" (default) or "gbdt" (boosted
     stumps — the reference's {logreg|rf|xgb} choice, pairwise_
-    classifier.py:259-279, minus the nondeterminism)."""
+    classifier.py:259-279, minus the nondeterminism). ``depth`` > 1 with
+    model="gbdt" grows fixed-depth Newton trees instead of stumps
+    (closes the stump-vs-XGBoost capacity gap on interaction features;
+    depth=1 keeps the legacy bit-exact stump path)."""
     cols = feature_cols or FEATURE_COLS
     X = labeled_features[cols].to_numpy(dtype=np.float64)
     y = labeled_features["label"].to_numpy(dtype=np.float64)
@@ -216,6 +331,12 @@ def train_matcher(
     Z = (X - mean) / std
 
     def fit_predict(Ztr, ytr, Zte):
+        if model == "gbdt" and depth > 1:
+            base, trees = _fit_trees(Ztr, ytr, depth=depth)
+            z = np.full(len(Zte), base)
+            for tree in trees:
+                z += _tree_predict(tree, Zte)
+            return 1.0 / (1.0 + np.exp(-z))
         if model == "gbdt":
             base, stumps = _fit_stumps(Ztr, ytr)
             z = np.full(len(Zte), base)
@@ -265,6 +386,17 @@ def train_matcher(
         "n_pos": int(y.sum()),
         "n": len(y),
     }
+    if model == "gbdt" and depth > 1:
+        base, trees = _fit_trees(Z, y, depth=depth)
+        return BoostedTreeMatcher(
+            base=base,
+            trees=trees,
+            mean=mean,
+            std=std,
+            threshold=thr,
+            feature_cols=list(cols),
+            metrics=metrics,
+        )
     if model == "gbdt":
         base, stumps = _fit_stumps(Z, y)
         return BoostedMatcher(

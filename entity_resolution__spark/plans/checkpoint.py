@@ -203,11 +203,17 @@ class IcebergStageStore(_StageStoreContract):
         return f"{self.catalog}.{self.namespace}.{stage}"
 
     def manifest(self, stage: str) -> dict | None:
+        from pyspark.errors import AnalysisException
+
         try:
             rows = self.spark.sql(
                 f"SHOW TBLPROPERTIES {self._table(stage)}"
             ).collect()
-        except Exception:  # table (or stage) does not exist yet
+        except AnalysisException:  # table (or stage) does not exist yet
+            # Only table-resolution errors mean "no snapshot"; a
+            # misconfigured catalog or connectivity failure must
+            # propagate, not silently route stage() into recompute
+            # (round-4 ADVICE).
             return None
         props = {r["key"]: r["value"] for r in rows}
         raw = props.get(self.PROP)
@@ -263,7 +269,11 @@ class IcebergStageStore(_StageStoreContract):
             },
             "partitions": per_part,
         }
-        blob = json.dumps(manifest).replace("'", "''")
+        # Spark SQL (non-ANSI) string literals interpret backslash
+        # escapes, so json.dumps output containing \" or \uXXXX would be
+        # corrupted on round-trip (round-4 ADVICE): escape backslashes
+        # FIRST, then quotes.
+        blob = json.dumps(manifest).replace("\\", "\\\\").replace("'", "''")
         spark.sql(
             f"ALTER TABLE {table} SET TBLPROPERTIES ('{self.PROP}' = '{blob}')"
         )

@@ -98,9 +98,15 @@ def signature_deduped_docs(
     from entity_resolution__spark.operators.textstats import tokens_col
 
     toks = tokens_col(F.col(text_col))
-    sig = F.md5(
-        F.concat_ws("|", *[minhash_md5(toks, s) for s in range(n_hashes)])
-    )
+    # Empty/null token sets would all collapse to one null-derived
+    # signature (array_min over an empty array is null, concat_ws skips
+    # nulls) — an empty doc would then suppress every later
+    # whitespace-only doc in the watermark (round-4 ADVICE). Fall back
+    # to md5 of the raw text so only byte-identical empty-ish docs dedup.
+    sig = F.when(
+        F.size(toks) > 0,
+        F.md5(F.concat_ws("|", *[minhash_md5(toks, s) for s in range(n_hashes)])),
+    ).otherwise(F.md5(F.concat(F.lit("raw|"), F.coalesce(F.col(text_col), F.lit("")))))
     return (
         stream.withColumn("_sig", sig)
         .withWatermark(ts_col, watermark)
