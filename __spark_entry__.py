@@ -472,6 +472,28 @@ def q_graph_modularity(spark, sf):
     return spark.createDataFrame([(round(q, 6),)], "modularity double")
 
 
+def q_louvain_communities(spark, sf):
+    """True multi-level Louvain (round-5, closes the G7 gap): weighted
+    LPA pre-coarsening distributed, then recursive local-move/contract
+    levels on the bounded community graph. Iterative + float-gain-driven
+    ⇒ not ANSI-SQL-expressible: no oracle_sql entry, driver records the
+    rows-only check; semantics are pinned by pytest (single-node repair
+    CNM cannot make, exact Q=11/26 recovery, ring-of-cliques assembly,
+    run-stable labels)."""
+    from entity_resolution__spark.operators.graph_export import (
+        label_propagation_communities,
+        louvain_refine,
+    )
+
+    edges = _neardup_pairs(spark, sf, n=3, threshold=0.2).select(
+        F.col("id_left").cast("string").alias("src"),
+        F.col("id_right").cast("string").alias("dst"),
+        F.col("jaccard").alias("weight"),
+    )
+    lpa = label_propagation_communities(edges)
+    return louvain_refine(edges, lpa).orderBy("node")
+
+
 def q_pack_sequences(spark, sf):
     """GPT-style concat-and-chunk packing layout over documents:
     per-document (shard, offset, bin_start, bin_end) at seq_len=512.
@@ -553,6 +575,39 @@ def q_token_budget_mix(spark, sf):
     )
 
 
+def q_pii_scrub(spark, sf):
+    """Corpus-hygiene pass: redact emails / IPv4s / phone-shaped digit
+    runs with typed placeholders, count hits per category. Patterns are
+    the Java-regex ∩ RE2 common subset so the DuckDB oracle replays the
+    identical composition (email → ip → phone order is semantic: the
+    phone pattern would otherwise eat dotted IPs)."""
+    from entity_resolution__spark.operators.scrub import pii_scrub
+
+    return pii_scrub(_t(spark, sf, "documents").select("doc_id", "text"))
+
+
+def q_hash_sample(spark, sf):
+    """Deterministic per-lang stratified sample: keep a doc iff its
+    md5-derived bucket < rate·10000. Engine-portable and re-derivable
+    bit-identically (no RNG, no partition-order dependence) — the
+    reproducibility property sampleBy's seeded per-partition RNG lacks."""
+    from entity_resolution__spark.operators.scrub import hash_stratified_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return hash_stratified_sample(
+        d, rates={"en": 0.25, "de": 0.5, "fr": 0.1}
+    )
+
+
+def q_ngram_stats(spark, sf):
+    """Top-40 corpus bigrams by document frequency (distinct within doc,
+    robust to spammy repetition): explode → count → deterministic top-k
+    (ties broken textually)."""
+    from entity_resolution__spark.operators.scrub import ngram_stats
+
+    return ngram_stats(_t(spark, sf, "documents"), n=2, k=40)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_stats": q_tokenize_stats,
@@ -583,6 +638,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_stats": q_packing_stats,
         "clean_corpus": q_clean_corpus,
         "token_budget_mix": q_token_budget_mix,
+        "pii_scrub": q_pii_scrub,
+        "hash_sample": q_hash_sample,
+        "ngram_stats": q_ngram_stats,
+        "louvain_communities": q_louvain_communities,
     }
 
 
@@ -1138,5 +1197,69 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, coalesce(s.simhash, '0000000000000000') AS simhash
             FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        # pii_scrub (round 5): identical regex composition, RE2 side —
+        # email -> ip -> phone; counts for email/ip on the original
+        # text, phones counted after email+ip redaction
+        "pii_scrub": r"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS after_email
+              FROM documents
+            ), t2 AS (
+              SELECT doc_id,
+                     regexp_replace(after_email,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS after_ip,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                     ))::BIGINT AS n_emails,
+                     len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
+                     ))::BIGINT AS n_ips
+              FROM t
+            )
+            SELECT doc_id,
+                   regexp_replace(after_ip, '\+?\d[\d .()-]{7,}\d',
+                                  '<PHONE>', 'g') AS text,
+                   n_emails, n_ips,
+                   len(regexp_extract_all(after_ip, '\+?\d[\d .()-]{7,}\d'
+                   ))::BIGINT AS n_phones
+            FROM t2
+        """,
+        # hash_sample (round 5): md5-hex bucket, same first-8-hex-digit
+        # base-16 parse as Spark's conv(substring(md5(...),1,8),16,10)
+        "hash_sample": r"""
+            WITH b AS (
+              SELECT doc_id, lang,
+                     (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      )::BIGINT % 10000) AS bucket
+              FROM documents
+            )
+            SELECT doc_id, lang, bucket
+            FROM b
+            WHERE bucket < CASE lang WHEN 'en' THEN 2500
+                                     WHEN 'de' THEN 5000
+                                     WHEN 'fr' THEN 1000
+                                     ELSE 0 END
+        """,
+        # ngram_stats (round 5): per-doc DISTINCT bigrams (document
+        # frequency), deterministic top-40 (count DESC, ngram ASC)
+        "ngram_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS l FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id, g
+              FROM toks,
+                   unnest(list_transform(range(1, len(l) - 2 + 2),
+                          i -> array_to_string(l[i:i+1], ' '))) AS u(g)
+              WHERE len(l) >= 2
+            )
+            SELECT g AS ngram, count(*)::BIGINT AS n_docs
+            FROM grams GROUP BY g
+            ORDER BY n_docs DESC, ngram
+            LIMIT 40
         """,
     }
