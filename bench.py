@@ -165,6 +165,29 @@ class _ProcTreeCpuCounter:
 _proc_tree_cpu = _ProcTreeCpuCounter()
 
 
+def _cpu_speed_probe() -> float:
+    """Wall seconds for a FIXED single-thread workload (numpy matmul +
+    pure-python loop) — a host-speed ruler. Round-5 finding: co-tenant
+    VMs sharing SMT siblings/caches dilute cycles, so the same pipeline
+    burns 1.5-3× the cpu_sec while guest loadavg stays low and
+    cpu_per_wall still ≈ thread count — cpu-based validity checks alone
+    cannot see it. The probe scales with the dilution: probe_sec vs the
+    clean-host reference (recorded in BASELINE.md) attributes inflated
+    stage CPU to the host, not the engine."""
+    import numpy as np
+
+    w = np.random.default_rng(1).standard_normal((64, 64))
+    (w @ w).sum()  # warm numpy's dispatch/alloc paths off the clock
+    t0 = time.monotonic()
+    a = np.random.default_rng(0).standard_normal((800, 800))
+    for _ in range(3):
+        a = a @ a.T / 800.0
+    x = 0
+    for i in range(2_000_000):
+        x += i * i
+    return round(time.monotonic() - t0, 3)
+
+
 def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
     """One full ER run (no checkpoint store): returns wall + turns/sec +
     per-stage wall times + host load snapshots (shared-box attribution —
@@ -210,6 +233,10 @@ def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
         # threads actually obtained: ≪ thread count ⇒ host throttling
         # (or idle waits), ≈ thread count ⇒ fully compute-bound
         "cpu_per_wall": round(cpu / wall, 2),
+        # host-speed ruler (see _cpu_speed_probe): ÷ the clean-host
+        # reference in BASELINE.md to normalize cpu_sec for co-tenant
+        # cycle dilution that loadavg/cpu_per_wall cannot see
+        "probe_sec": _cpu_speed_probe(),
         "turns": n_turns,
         "turns_per_sec": round(n_turns / wall, 1),
         "clusters": n_clusters,
@@ -269,6 +296,7 @@ def _er_summary(run: dict) -> dict:
         "wall_sec": run["wall_sec"],
         "turns_per_sec": run["turns_per_sec"],
         "cpu_per_wall": run["cpu_per_wall"],
+        "probe_sec": run.get("probe_sec"),
         "master": run["master"],
     }
 
@@ -301,6 +329,7 @@ def run_cc_at_size(spark) -> dict:
         # riding high. valid = plausibly-clean measurement.
         "cpu_sec": round(cpu, 1),
         "cpu_per_wall": round(cpu / wall, 2),
+        "probe_sec": _cpu_speed_probe(),
         "load_1m_start": round(load0, 2),
         "valid": bool(cpu / wall >= 1.5 and load0 < 8.0),
         "iterations": res.cc_iterations
@@ -381,6 +410,18 @@ def main() -> None:
             effs[f"efficiency_{lo}_to_{hi}"] = round(
                 (best[hi]["turns_per_sec"] / best[lo]["turns_per_sec"]) / ratio, 3
             )
+            # probe-normalized variant: each leg's throughput rescaled
+            # by its own host-speed probe (round-5: co-tenant cycle
+            # dilution can differ between legs minutes apart, making the
+            # raw ratio meaningless — 1.52 "superlinear" observed)
+            p_lo, p_hi = best[lo].get("probe_sec"), best[hi].get("probe_sec")
+            if p_lo and p_hi:
+                effs[f"efficiency_{lo}_to_{hi}_probe_norm"] = round(
+                    (best[hi]["turns_per_sec"] * p_hi)
+                    / (best[lo]["turns_per_sec"] * p_lo)
+                    / ratio,
+                    3,
+                )
         headline = effs.get(f"efficiency_{levels[0]}_to_{levels[0] * 4}")
         # per-stage efficiency between the N→4N pair (first two levels)
         lo, hi = levels[0], levels[1] if len(levels) > 1 else levels[0]
