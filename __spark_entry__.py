@@ -472,6 +472,17 @@ def q_graph_modularity(spark, sf):
     return spark.createDataFrame([(round(q, 6),)], "modularity double")
 
 
+def q_simhash_neardup(spark, sf):
+    """SimHash hamming near-dup pairs (round 5): 64-bit fingerprint cut
+    into 4 bands of 16 bits — pigeonhole guarantees EVERY pair within
+    hamming ≤ 3 shares ≥1 band, so this is exact within-radius search
+    (100% recall), not a probabilistic LSH sample. Band join capped +
+    salted; verify = bit_count(xor) pure Catalyst."""
+    from entity_resolution__spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_t(spark, sf, "documents"), max_hamming=3)
+
+
 def q_louvain_communities(spark, sf):
     """True multi-level Louvain (round-5, closes the G7 gap): weighted
     LPA pre-coarsening distributed, then recursive local-move/contract
@@ -641,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "hash_sample": q_hash_sample,
         "ngram_stats": q_ngram_stats,
+        "simhash_neardup": q_simhash_neardup,
         "louvain_communities": q_louvain_communities,
     }
 
@@ -650,6 +662,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# Shared WITH-body reassembling the md5-based 64-bit SimHash per hex
+# digit (each md5 hex char carries 4 bits; per-(doc, char) conditional
+# sums + a majority nibble rebuild the exact hex the numpy kernel
+# packs). Ends with sh(doc_id, simhash); used by the `simhash` and
+# `simhash_neardup` oracles.
+_SIMHASH_CTE = f"""t AS (
+              SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+            ), nn AS (
+              SELECT doc_id, len(toks) AS n_tok FROM t
+            ), u AS (
+              SELECT doc_id, unnest(toks) AS tok FROM t
+            ), hx AS (
+              SELECT doc_id, substring(md5(tok), 1, 16) AS h FROM u
+            ), ch AS (
+              SELECT doc_id, i,
+                     strpos('0123456789abcdef', substring(h, i, 1)) - 1 AS hv
+              FROM hx CROSS JOIN (SELECT unnest(range(1, 17)) AS i) idx
+            ), votes AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN hv & 1 > 0 THEN 1 ELSE 0 END) AS c0,
+                     sum(CASE WHEN hv & 2 > 0 THEN 1 ELSE 0 END) AS c1,
+                     sum(CASE WHEN hv & 4 > 0 THEN 1 ELSE 0 END) AS c2,
+                     sum(CASE WHEN hv & 8 > 0 THEN 1 ELSE 0 END) AS c3
+              FROM ch GROUP BY 1, 2
+            ), nib AS (
+              SELECT v.doc_id, v.i,
+                     (CASE WHEN 2 * c0 >= n_tok THEN 1 ELSE 0 END
+                    + CASE WHEN 2 * c1 >= n_tok THEN 2 ELSE 0 END
+                    + CASE WHEN 2 * c2 >= n_tok THEN 4 ELSE 0 END
+                    + CASE WHEN 2 * c3 >= n_tok THEN 8 ELSE 0 END) AS val
+              FROM votes v JOIN nn USING (doc_id)
+            ), s AS (
+              SELECT doc_id,
+                     string_agg(substring('0123456789abcdef', val + 1, 1),
+                                '' ORDER BY i) AS simhash
+              FROM nib GROUP BY doc_id
+            ), sh AS (
+              SELECT d.doc_id, coalesce(s.simhash, '0000000000000000') AS simhash
+              FROM documents d LEFT JOIN s USING (doc_id)
+            )"""
 
 
 def _shingle_edges_cte(threshold: float = 0.2, n: int = 3) -> str:
@@ -1158,45 +1211,40 @@ def oracle_sql() -> dict[str, str]:
                      AS fill_ratio
             FROM s
         """,
-        # simhash (round 3; was rows-only): md5-based bit-majority vote
-        # reproduced per hex digit — each md5 hex char carries 4 simhash
-        # bits, so per-(doc, char) conditional sums + a majority nibble
-        # reassemble the exact 16-char hex the numpy kernel packs
+        # simhash (round 3; was rows-only): see _SIMHASH_CTE
         "simhash": f"""
-            WITH t AS (
-              SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
-            ), nn AS (
-              SELECT doc_id, len(toks) AS n_tok FROM t
-            ), u AS (
-              SELECT doc_id, unnest(toks) AS tok FROM t
-            ), hx AS (
-              SELECT doc_id, substring(md5(tok), 1, 16) AS h FROM u
-            ), ch AS (
-              SELECT doc_id, i,
-                     strpos('0123456789abcdef', substring(h, i, 1)) - 1 AS hv
-              FROM hx CROSS JOIN (SELECT unnest(range(1, 17)) AS i) idx
-            ), votes AS (
-              SELECT doc_id, i,
-                     sum(CASE WHEN hv & 1 > 0 THEN 1 ELSE 0 END) AS c0,
-                     sum(CASE WHEN hv & 2 > 0 THEN 1 ELSE 0 END) AS c1,
-                     sum(CASE WHEN hv & 4 > 0 THEN 1 ELSE 0 END) AS c2,
-                     sum(CASE WHEN hv & 8 > 0 THEN 1 ELSE 0 END) AS c3
-              FROM ch GROUP BY 1, 2
-            ), nib AS (
-              SELECT v.doc_id, v.i,
-                     (CASE WHEN 2 * c0 >= n_tok THEN 1 ELSE 0 END
-                    + CASE WHEN 2 * c1 >= n_tok THEN 2 ELSE 0 END
-                    + CASE WHEN 2 * c2 >= n_tok THEN 4 ELSE 0 END
-                    + CASE WHEN 2 * c3 >= n_tok THEN 8 ELSE 0 END) AS val
-              FROM votes v JOIN nn USING (doc_id)
-            ), s AS (
-              SELECT doc_id,
-                     string_agg(substring('0123456789abcdef', val + 1, 1),
-                                '' ORDER BY i) AS simhash
-              FROM nib GROUP BY doc_id
+            WITH {_SIMHASH_CTE}
+            SELECT doc_id, simhash FROM sh
+        """,
+        # simhash_neardup (round 5): 4 bands × 4 hex chars (pigeonhole:
+        # hamming ≤ 3 ⇒ ≥1 equal band), per-(band, value) bucket cap
+        # mirrored, hamming via bit_count(xor) on the UBIGINT parse of
+        # the same hex
+        "simhash_neardup": f"""
+            WITH {_SIMHASH_CTE}, ub AS (
+              SELECT doc_id, simhash,
+                     ('0x' || simhash)::UBIGINT AS s
+              FROM sh
+            ), bands AS (
+              SELECT doc_id, s, i,
+                     substring(simhash, 1 + 4 * i, 4) AS bv
+              FROM ub CROSS JOIN (SELECT unnest(range(0, 4)) AS i) bi
+            ), sized AS (
+              SELECT *, count(*) OVER (PARTITION BY i, bv) AS bsz
+              FROM bands
+            ), keep AS (
+              SELECT * FROM sized WHERE bsz <= 4096
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right,
+                              l.s AS sl, r.s AS sr
+              FROM keep l
+              JOIN keep r ON l.i = r.i AND l.bv = r.bv
+                         AND l.doc_id < r.doc_id
             )
-            SELECT d.doc_id, coalesce(s.simhash, '0000000000000000') AS simhash
-            FROM documents d LEFT JOIN s USING (doc_id)
+            SELECT id_left, id_right,
+                   bit_count(xor(sl, sr))::BIGINT AS hamming
+            FROM cand
+            WHERE bit_count(xor(sl, sr)) <= 3
         """,
         # pii_scrub (round 5): identical regex composition, RE2 side —
         # email -> ip -> phone; counts for email/ip on the original

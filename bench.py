@@ -195,6 +195,10 @@ def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
     under an ambient load spike; the snapshots make that auditable)."""
     from entity_resolution__spark.plans.pipeline import ERConfig, run_pipeline
 
+    # host-speed sample BEFORE the JVM exists: a post-run sample reads
+    # the JVM's own teardown/GC threads as "dilution" (observed: probe
+    # 0.79 after a record-fast 18.6 s run — self-load, not host)
+    probe0 = _cpu_speed_probe()
     load0 = os.getloadavg()
     spark = get_spark("bench-er", master=master, shuffle_partitions=shuffle)
     sdf = spark.read.parquet(path)
@@ -235,8 +239,11 @@ def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
         "cpu_per_wall": round(cpu / wall, 2),
         # host-speed ruler (see _cpu_speed_probe): ÷ the clean-host
         # reference in BASELINE.md to normalize cpu_sec for co-tenant
-        # cycle dilution that loadavg/cpu_per_wall cannot see
-        "probe_sec": _cpu_speed_probe(),
+        # cycle dilution that loadavg/cpu_per_wall cannot see.
+        # probe_sec = pre-JVM sample (authoritative); _end = post-run
+        # (self-load-contaminated; kept to show drift)
+        "probe_sec": probe0,
+        "probe_sec_end": _cpu_speed_probe(),
         "turns": n_turns,
         "turns_per_sec": round(n_turns / wall, 1),
         "clusters": n_clusters,
@@ -310,6 +317,7 @@ def run_cc_at_size(spark) -> dict:
     from entity_resolution__spark.operators.cluster import connected_components
 
     edges, n_edges, _ = make_chain_edges(spark)
+    probe0 = _cpu_speed_probe()  # pre-run sample (JVM idle at this point)
     load0 = os.getloadavg()[0]
     cpu0 = _proc_tree_cpu()
     t0 = time.monotonic()
@@ -329,7 +337,7 @@ def run_cc_at_size(spark) -> dict:
         # riding high. valid = plausibly-clean measurement.
         "cpu_sec": round(cpu, 1),
         "cpu_per_wall": round(cpu / wall, 2),
-        "probe_sec": _cpu_speed_probe(),
+        "probe_sec": probe0,
         "load_1m_start": round(load0, 2),
         "valid": bool(cpu / wall >= 1.5 and load0 < 8.0),
         "iterations": res.cc_iterations
@@ -520,8 +528,15 @@ def main() -> None:
             for s in er["stages"]
             if er["stages"].get(s) and er8["stages"].get(s)
         }
+        # valid needs BOTH legs un-throttled AND comparable host speed
+        # (round-5: probe ratio between legs >1.25× means the ratio
+        # measures co-tenant cycle dilution, not the engine)
+        _p1, _p2 = er.get("probe_sec"), er8.get("probe_sec")
+        probe_ok = bool(_p1 and _p2 and 0.8 <= _p1 / _p2 <= 1.25)
         compact["er_stage_eff_valid"] = bool(
-            er["cpu_per_wall"] >= 0.5 * cpus and er8["cpu_per_wall"] >= 0.5 * 8
+            er["cpu_per_wall"] >= 0.5 * cpus
+            and er8["cpu_per_wall"] >= 0.5 * 8
+            and probe_ok
         )
         detail["er_stage_cpw"] = {
             f"local{n}": {

@@ -370,3 +370,86 @@ def ngram_jaccard_pairs(
         "id_right",
         F.round(jac, 6).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = NGRAM_MAX_BUCKET,
+    salt_threshold: int = NGRAM_SALT_THRESHOLD,
+    n_salts: int = NGRAM_N_SALTS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    The third LSH family in the dedup suite (beside MinHash bands and
+    embedding sign buckets), with a recall guarantee the probabilistic
+    families lack: the 64-bit fingerprint is cut into ``n_bands`` equal
+    slices, and by pigeonhole ANY pair within hamming < n_bands agrees
+    exactly on ≥1 slice — candidates from band-equality buckets are
+    100% recall for d ≤ n_bands−1 (defaults: 4 bands ⇒ d ≤ 3 exact).
+    Band self-joins route through `capped_salted_self_join` (same cap +
+    triangle-salt skew armor as every bucket family; the cap is
+    semantics and is mirrored in the DuckDB oracle). Verification is
+    pure Catalyst: bit_count(s_l XOR s_r) on the two 64-bit longs.
+
+    The SimHash kernel runs ONCE per doc (the hex band keys are derived
+    from the long, not recomputed) and the fingerprint table is
+    materialized before fanning out to the band explode and the two
+    verify joins.
+
+    Output: (id_left, id_right, hamming), each unordered pair once.
+    """
+    from entity_resolution__spark.operators.saltjoin import (
+        capped_salted_self_join,
+    )
+    from entity_resolution__spark.operators.textstats import tokens_col
+
+    assert 16 % n_bands == 0, "n_bands must divide the 16 hex digits"
+    hexw = 16 // n_bands
+    toks = tokens_col(F.col(text_col))
+    base = (
+        df.select(F.col(id_col).alias("id"), simhash64(toks).alias("_s"))
+        .withColumn("_hex", F.lower(F.lpad(F.hex(F.col("_s")), 16, "0")))
+        .localCheckpoint(eager=True)  # kernel once; 3 consumer branches
+    )
+    bands = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("_hex", 1 + hexw * i, hexw).alias("bv"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    cand = (
+        capped_salted_self_join(
+            bands,
+            ["band", "bv"],
+            id_col="id",
+            max_bucket=max_bucket,
+            salt_threshold=salt_threshold,
+            n_salts=n_salts,
+        )
+        .select("id_left", "id_right")
+        .dropDuplicates(["id_left", "id_right"])
+    )
+    sl = base.select(F.col("id").alias("id_left"), F.col("_s").alias("_sl"))
+    sr = base.select(F.col("id").alias("id_right"), F.col("_s").alias("_sr"))
+    return (
+        cand.join(sl, "id_left")
+        .join(sr, "id_right")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_sl").bitwiseXOR(F.col("_sr"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_left", "id_right", "hamming")
+    )

@@ -311,3 +311,74 @@ def test_token_budget_sample_two_phase_parity(spark):
     )
     assert single == two_phase
     assert len(single) > 0
+
+
+def test_simhash_neardup_pairs_recall_guarantee(spark):
+    """Pigeonhole property: with 4 bands, band-equality candidates
+    contain EVERY pair within hamming ≤ 3 — the operator's result must
+    EQUAL the brute-force all-pairs set, not approximate it. Fixture:
+    duplicate docs (hamming 0), perturbed docs (small hamming), and
+    unrelated fillers."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution__spark.operators.dedup import (
+        simhash64,
+        simhash_neardup_pairs,
+    )
+    from entity_resolution__spark.operators.textstats import tokens_col
+
+    base_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (0, base_text),
+        (1, base_text),  # exact dup → hamming 0
+        (2, base_text.replace("kappa", "kappax")),  # small perturbation
+        (3, base_text.replace("alpha beta", "a1 b2")),
+        (4, "totally different words about completely other topics here"),
+        (5, "yet another unrelated document with its own vocabulary set"),
+    ] + [
+        (10 + i, f"filler document number {i} content token{i} extra{i}")
+        for i in range(20)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sims = {
+        r["doc_id"]: r["s"]
+        for r in d.select(
+            "doc_id", simhash64(tokens_col(F.col("text"))).alias("s")
+        ).collect()
+    }
+    ids = sorted(sims)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got_rows = simhash_neardup_pairs(d, max_hamming=3).collect()
+    got = {(r["id_left"], r["id_right"]) for r in got_rows}
+    assert got == want
+    assert (0, 1) in got  # exact dup found
+    ham = {(r["id_left"], r["id_right"]): r["hamming"] for r in got_rows}
+    assert ham[(0, 1)] == 0
+    # each unordered pair exactly once
+    assert len(got_rows) == len(got)
+
+
+def test_simhash_neardup_skew_cap(spark):
+    """A mega-bucket of identical docs above max_bucket is DROPPED (the
+    documented cap semantics shared with the other LSH families), while
+    a small benign near-dup pair elsewhere is still found."""
+    rows = [(i, "same same same same identical text") for i in range(50)]
+    rows += [(100, "benign near duplicate pair text one"),
+             (101, "benign near duplicate pair text one")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    from entity_resolution__spark.operators.dedup import simhash_neardup_pairs
+
+    got = {
+        (r["id_left"], r["id_right"])
+        for r in simhash_neardup_pairs(d, max_hamming=3, max_bucket=40).collect()
+    }
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)  # mega-bucket dropped
