@@ -472,6 +472,17 @@ def q_graph_modularity(spark, sf):
     return spark.createDataFrame([(round(q, 6),)], "modularity double")
 
 
+def q_chunk_documents(spark, sf):
+    """RAG-style overlapping token-window chunking: chunk_tokens=32,
+    overlap=8 (stride 24); last chunk short; zero-token docs yield no
+    chunks. Pure Catalyst sequence+explode+slice — no shuffle."""
+    from entity_resolution__spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
 def q_simhash_neardup(spark, sf):
     """SimHash hamming near-dup pairs (round 5): 64-bit fingerprint cut
     into 4 bands of 16 bits — pigeonhole guarantees EVERY pair within
@@ -652,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "hash_sample": q_hash_sample,
         "ngram_stats": q_ngram_stats,
+        "chunk_documents": q_chunk_documents,
         "simhash_neardup": q_simhash_neardup,
         "louvain_communities": q_louvain_communities,
     }
@@ -1215,6 +1227,29 @@ def oracle_sql() -> dict[str, str]:
         "simhash": f"""
             WITH {_SIMHASH_CTE}
             SELECT doc_id, simhash FROM sh
+        """,
+        # chunk_documents (round 5): same stride arithmetic on the
+        # DuckDB side — n_chunks = (max(n-32,0) + 23) // 24 + 1 for
+        # n > 0; list slice clamps at the end on both engines
+        "chunk_documents": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS l FROM documents
+            ), c AS (
+              SELECT doc_id, l,
+                     CASE WHEN len(l) = 0 THEN 0
+                          ELSE (greatest(len(l) - 32, 0) + 23) // 24 + 1
+                     END AS k
+              FROM t
+            ), e AS (
+              SELECT doc_id, l, i AS chunk_id
+              FROM c, unnest(range(0, k)) AS u(i)
+            )
+            SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+                   len(l[chunk_id * 24 + 1 : chunk_id * 24 + 32])::BIGINT
+                     AS n_chunk_tokens,
+                   array_to_string(l[chunk_id * 24 + 1 : chunk_id * 24 + 32],
+                                   ' ') AS chunk_text
+            FROM e
         """,
         # simhash_neardup (round 5): 4 bands × 4 hex chars (pigeonhole:
         # hamming ≤ 3 ⇒ ≥1 equal band), per-(band, value) bucket cap

@@ -515,6 +515,13 @@ def main() -> None:
         compact["er_scaling_8_to_cpus"] = round(
             (er["turns_per_sec"] / er8["turns_per_sec"]) / (cpus / 8.0), 3
         )
+        if er.get("probe_sec") and er8.get("probe_sec"):
+            compact["er_scaling_8_to_cpus_probe_norm"] = round(
+                (er["turns_per_sec"] * er["probe_sec"])
+                / (er8["turns_per_sec"] * er8["probe_sec"])
+                / (cpus / 8.0),
+                3,
+            )
         # per-stage parallel efficiency, first-class (round-3 VERDICT
         # #5): wall-based speedup per core ratio between the best runs
         # at each level; per-stage cpu/wall goes to the detail file so a

@@ -178,3 +178,62 @@ def token_budget_sample(
             .select(id_col, group_col, "n_tokens", "cum_tokens")
         )
     return base.filter((F.col("cum_tokens") - F.col("n_tokens")) < budget)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / long-context
+    pretraining splitter): chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens) with stride = chunk_tokens −
+    overlap; the last chunk may be short; a doc with no tokens yields no
+    chunks. Chunk text is the space-join of the NORMALIZED token stream
+    (the engine's [a-z0-9]+ tokens — chunking is a token-space
+    operation; callers needing original spans keep offsets instead).
+
+    Pure Catalyst (sequence + explode + slice), no shuffle at all — at
+    100 TB this fuses into the scan projection and the row count fans
+    out ~n_tokens/stride per doc, exactly the partition shape a
+    downstream embedder wants.
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    from entity_resolution__spark.operators.textstats import tokens_col
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = tokens_col(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor(
+            (F.greatest(n - chunk_tokens, F.lit(0)) + (stride - 1)) / stride
+        ).cast("int")
+        + 1
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks"), n_chunks.alias("_k"))
+    return (
+        base.filter(F.col("_k") > 0)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("_k") - 1)).alias("chunk_id"),
+            "_toks",
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(
+                F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+            ).alias("_c"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("_c").cast("long").alias("n_chunk_tokens"),
+            F.array_join("_c", " ").alias("chunk_text"),
+        )
+    )

@@ -382,3 +382,31 @@ def test_simhash_neardup_skew_cap(spark):
     }
     assert (100, 101) in got
     assert not any(a < 100 and b < 100 for a, b in got)  # mega-bucket dropped
+
+
+def test_chunk_documents_windows(spark):
+    """Overlapping token windows: 10 tokens / chunk 4 / overlap 1
+    (stride 3) → chunks at offsets 0, 3, 6, the last clamped; empty doc
+    yields nothing; short doc yields one short chunk; overlap ≥ chunk
+    refused."""
+    import pytest as _pytest
+
+    from entity_resolution__spark.operators.packing import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, ""), (3, "one")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(d, chunk_tokens=4, overlap=1).collect()
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in out
+    }
+    assert got == {
+        (1, 0): (4, "a b c d"),
+        (1, 1): (4, "d e f g"),
+        (1, 2): (4, "g h i j"),
+        (3, 0): (1, "one"),
+    }
+    with _pytest.raises(ValueError):
+        chunk_documents(d, chunk_tokens=4, overlap=4)
