@@ -113,3 +113,101 @@ def signature_deduped_docs(
         .dropDuplicatesWithinWatermark(["_sig"])
         .drop("_sig")
     )
+
+
+def conversation_progress(
+    stream: DataFrame, timeout_ms: int = 30 * 60 * 1000
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState —
+    the arbitrary-state API for semantics the built-in streaming
+    operators can't express. Maintains a per-conversation RUNNING
+    summary (turn count, first/last event time, distinct roles) in the
+    state store, re-emits the updated row each micro-batch the
+    conversation receives turns, and FINALIZES an idle conversation on
+    a processing-time timeout (done=true, state removed) — the
+    streaming analog of the batch rule that a conversation closes
+    after a quiet period.
+
+    State is BOUNDED: one small row per conversation alive inside the
+    timeout horizon (the same bounded-state discipline as the dedup
+    operators — at 10¹²-turn scale nothing may accumulate per corpus).
+    Timestamps are held in state as epoch-micros longs (portable state
+    encoding); the output surfaces real timestamps.
+
+    Output: (conv_id, n_turns, first_ts, last_ts, n_roles, done).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("n_turns", T.LongType(), False),
+            T.StructField("first_ts", T.TimestampType(), True),
+            T.StructField("last_ts", T.TimestampType(), True),
+            T.StructField("n_roles", T.LongType(), False),
+            T.StructField("done", T.BooleanType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_turns", T.LongType()),
+            T.StructField("first_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("roles", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        conv_id = key[0]
+
+        def emit(n, first_us, last_us, roles, done):
+            return pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": [n],
+                    "first_ts": [
+                        pd.Timestamp(first_us, unit="us")
+                        if first_us is not None
+                        else pd.NaT
+                    ],
+                    "last_ts": [
+                        pd.Timestamp(last_us, unit="us")
+                        if last_us is not None
+                        else pd.NaT
+                    ],
+                    "n_roles": [len(roles)],
+                    "done": [done],
+                }
+            )
+
+        if state.hasTimedOut:
+            n, first_us, last_us, roles = state.get
+            state.remove()
+            yield emit(n, first_us, last_us, roles or [], True)
+            return
+        n, first_us, last_us, roles = (
+            state.get if state.exists else (0, None, None, [])
+        )
+        role_set = set(roles or [])
+        for pdf in pdfs:
+            n += len(pdf)
+            ts = pd.to_datetime(pdf["ts"]).dropna()
+            if len(ts):
+                mn = int(ts.min().value // 1000)
+                mx = int(ts.max().value // 1000)
+                first_us = mn if first_us is None else min(first_us, mn)
+                last_us = mx if last_us is None else max(last_us, mx)
+            role_set.update(r for r in pdf["role"].dropna())
+        state.update((n, first_us, last_us, sorted(role_set)))
+        state.setTimeoutDuration(timeout_ms)
+        yield emit(n, first_us, last_us, role_set, False)
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -83,3 +83,56 @@ def test_stream_signature_dedup_docs(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in got)
     assert len(kept) == 2
     assert 3 in kept and kept[0] in (0, 1, 2)
+
+
+def test_conversation_progress_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): one summary
+    row per conversation after a single availableNow batch — correct
+    turn counts, role counts, first/last event times, done=false (the
+    timeout leg needs wall-clock idle time; its state-removal contract
+    is covered by the operator's hasTimedOut branch)."""
+    import datetime as dt
+    import os as _os
+
+    import pandas as pd
+
+    from entity_resolution__spark.schema import TRANSCRIPTS
+    from entity_resolution__spark.streaming.ingest import (
+        conversation_progress,
+        read_transcript_stream,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("c1", 0, "user", "hello", None, t0),
+        ("c1", 1, "assistant", "hi", None, t0 + dt.timedelta(seconds=30)),
+        ("c1", 2, "user", "bye", None, t0 + dt.timedelta(seconds=90)),
+        ("c2", 0, "user", "solo turn", None, t0 + dt.timedelta(minutes=5)),
+    ]
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    spark.createDataFrame(rows, TRANSCRIPTS).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    out = conversation_progress(read_transcript_stream(spark, src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("conv_progress_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["conv_id"]: r
+        for r in spark.sql("select * from conv_progress_test").collect()
+    }
+    assert set(got) == {"c1", "c2"}
+    assert got["c1"]["n_turns"] == 3 and got["c1"]["n_roles"] == 2
+    assert got["c2"]["n_turns"] == 1 and got["c2"]["n_roles"] == 1
+    assert not got["c1"]["done"] and not got["c2"]["done"]
+    assert got["c1"]["first_ts"] == t0
+    assert got["c1"]["last_ts"] == t0 + dt.timedelta(seconds=90)
+    assert got["c2"]["first_ts"] == got["c2"]["last_ts"]
