@@ -472,6 +472,26 @@ def q_graph_modularity(spark, sf):
     return spark.createDataFrame([(round(q, 6),)], "modularity double")
 
 
+def q_events_retention(spark, sf):
+    """Classic cohort-retention rollup over the events table: users
+    grouped by first-seen day, activity counted per day offset — two
+    aggregations and one join, all shuffle-keyed on user_id so the
+    first-day dimension co-partitions with the activity scan (at 100 TB
+    AQE picks the join strategy; no driver-side state)."""
+    e = _t(spark, sf, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    first = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        e.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_day").cast("long"))
+        .groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset"
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
 def q_chunk_documents(spark, sf):
     """RAG-style overlapping token-window chunking: chunk_tokens=32,
     overlap=8 (stride 24); last chunk short; zero-token docs yield no
@@ -663,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "hash_sample": q_hash_sample,
         "ngram_stats": q_ngram_stats,
+        "events_retention": q_events_retention,
         "chunk_documents": q_chunk_documents,
         "simhash_neardup": q_simhash_neardup,
         "louvain_communities": q_louvain_communities,
@@ -1227,6 +1248,20 @@ def oracle_sql() -> dict[str, str]:
         "simhash": f"""
             WITH {_SIMHASH_CTE}
             SELECT doc_id, simhash FROM sh
+        """,
+        # events_retention (round 5): first-seen-day cohorts × day
+        # offsets, distinct-user counts
+        "events_retention": r"""
+            WITH e AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+            ), f AS (
+              SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id
+            )
+            SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+                   date_diff('day', f.cohort_day, e.d)::BIGINT AS day_offset,
+                   count(DISTINCT e.user_id)::BIGINT AS n_users
+            FROM e JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         # chunk_documents (round 5): same stride arithmetic on the
         # DuckDB side — n_chunks = (max(n-32,0) + 23) // 24 + 1 for
