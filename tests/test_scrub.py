@@ -113,3 +113,43 @@ def test_ngram_stats_empty_input(spark):
         ).count()
         == 0
     )
+
+
+def test_round5_ops_empty_input_probes(spark):
+    """Empty-input probes for the round-5 family (same discipline as the
+    round-4 operators): every operator degrades to an empty (or
+    identity) result with the right schema, no exceptions."""
+    from pyspark.sql import functions as F
+
+    from entity_resolution__spark.operators.cluster import incremental_clusters
+    from entity_resolution__spark.operators.dedup import simhash_neardup_pairs
+    from entity_resolution__spark.operators.graph_export import louvain_refine
+    from entity_resolution__spark.operators.packing import chunk_documents
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert simhash_neardup_pairs(empty_docs).count() == 0
+    assert chunk_documents(empty_docs).count() == 0
+
+    empty_edges = spark.createDataFrame(
+        [], "src string, dst string, weight double"
+    )
+    assert louvain_refine(empty_edges).count() == 0  # singleton start
+    labels = spark.createDataFrame(
+        [("a", "a"), ("b", "b")], "node string, community string"
+    )
+    # no edges → labeling passes through unchanged
+    got = {r["node"]: r["community"] for r in louvain_refine(empty_edges, labels).collect()}
+    assert got == {"a": "a", "b": "b"}
+
+    prior = spark.createDataFrame(
+        [("a", 0, 1)], "conv_id string, cluster_id long, cluster_size int"
+    )
+    no_delta = spark.createDataFrame([], "src string, dst string")
+    out = incremental_clusters(prior, no_delta).collect()
+    assert [(r["conv_id"], r["cluster_id"], r["cluster_size"]) for r in out] == [
+        ("a", 0, 1)
+    ]
+    empty_prior = spark.createDataFrame(
+        [], "conv_id string, cluster_id long, cluster_size int"
+    )
+    assert incremental_clusters(empty_prior, no_delta).count() == 0
