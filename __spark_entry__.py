@@ -1321,8 +1321,8 @@ def oracle_sql() -> dict[str, str]:
         # text, phones counted after email+ip redaction
         "pii_scrub": r"""
             WITH t AS (
-              SELECT doc_id, text,
-                     regexp_replace(text,
+              SELECT doc_id, coalesce(text, '') AS text,
+                     regexp_replace(coalesce(text, ''),
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                        '<EMAIL>', 'g') AS after_email
               FROM documents

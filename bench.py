@@ -176,15 +176,23 @@ def _cpu_speed_probe() -> float:
     stage CPU to the host, not the engine."""
     import numpy as np
 
-    w = np.random.default_rng(1).standard_normal((64, 64))
-    (w @ w).sum()  # warm numpy's dispatch/alloc paths off the clock
+    # STRICTLY single-thread components (round-5 review: an 800×800
+    # matmul fans out across idle cores via multithreaded BLAS, so the
+    # "ruler" would partially measure free-core availability): a pure
+    # python loop + numpy ELEMENTWISE ufuncs (never BLAS-threaded).
+    def work():
+        a = np.random.default_rng(0).standard_normal(4_000_000)
+        (np.exp(np.sin(a)) * 0.5).sum()
+        x = 0
+        for i in range(2_000_000):
+            x += i * i
+
+    # one FULL warm pass off the clock: the first numpy large-alloc +
+    # ufunc dispatch in a fresh process costs ~2 s extra, and bench
+    # children call the probe exactly once
+    work()
     t0 = time.monotonic()
-    a = np.random.default_rng(0).standard_normal((800, 800))
-    for _ in range(3):
-        a = a @ a.T / 800.0
-    x = 0
-    for i in range(2_000_000):
-        x += i * i
+    work()
     return round(time.monotonic() - t0, 3)
 
 
@@ -339,7 +347,15 @@ def run_cc_at_size(spark) -> dict:
         "cpu_per_wall": round(cpu / wall, 2),
         "probe_sec": probe0,
         "load_1m_start": round(load0, 2),
-        "valid": bool(cpu / wall >= 1.5 and load0 < 8.0),
+        # threshold scales with the session's thread count (round-5
+        # review: the old fixed 1.5 encoded a local[32] calibration —
+        # clean cpu/wall for the barrier-bound loop is ~1/3 of threads,
+        # so 0.15·threads splits clean from fair-share-throttled at any
+        # master)
+        "valid": bool(
+            cpu / wall >= 0.15 * spark.sparkContext.defaultParallelism
+            and load0 < 8.0
+        ),
         "iterations": res.cc_iterations
         if hasattr(res, "cc_iterations")
         else res.iterations,

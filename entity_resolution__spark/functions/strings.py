@@ -313,6 +313,10 @@ def _probe_rapidfuzz():
         ("jellyfish", "smellyfish"), ("ABCVWXYZ", "CABVWUXYZ"),
         ("duane", "dwayne"), ("a" * 70 + "b", "b" + "a" * 70),
         ("kitten", "sitting"), ("résumé", "resume"), ("x", "x"),
+        # shared prefix but jaro ≤ 0.7: exercises the Winkler BOOST
+        # THRESHOLD branch — a rapidfuzz build applying the prefix bonus
+        # unconditionally must be rejected here (round-5 review)
+        ("abcdef", "abzzzz"), ("prefab", "prezzzzzzzz"),
     ]
     for a, b in battery:
         if _LCSseq.similarity(a, b) != lcs_len(a, b):
@@ -320,6 +324,22 @@ def _probe_rapidfuzz():
         if _JW.similarity(a, b) != jaro_winkler(a, b):
             return None
         if _Indel.normalized_similarity(a, b) != edit_ratio(a, b):
+            return None
+    # certify the BATCH path too: cpdist must reproduce the float64
+    # kernels bitwise (its default dtype is float32 for normalized
+    # scorers — the call sites pass float64, and this check rejects any
+    # build where that still quantizes; round-5 review)
+    av = np.array([a for a, _ in battery], dtype=object)
+    bv = np.array([b for _, b in battery], dtype=object)
+    jw_c = _process.cpdist(av, bv, scorer=_JW.similarity, dtype=np.float64, workers=1)
+    er_c = _process.cpdist(
+        av, bv, scorer=_Indel.normalized_similarity, dtype=np.float64, workers=1
+    )
+    lcs_c = _process.cpdist(av, bv, scorer=_LCSseq.similarity, dtype=np.int64, workers=1)
+    for i, (a, b) in enumerate(battery):
+        if jw_c[i] != jaro_winkler(a, b) or er_c[i] != edit_ratio(a, b):
+            return None
+        if int(lcs_c[i]) != lcs_len(a, b):
             return None
     return {
         "LCSseq": _LCSseq,
@@ -359,8 +379,12 @@ def edit_ratio_series(a: pd.Series, b: pd.Series) -> pd.Series:
         bv = b.fillna("").astype(str).to_numpy()
         return pd.Series(
             _RF["process"].cpdist(
-                av, bv, scorer=_RF["Indel"].normalized_similarity, workers=1
-            ).astype(np.float64)
+                av,
+                bv,
+                scorer=_RF["Indel"].normalized_similarity,
+                dtype=np.float64,  # default float32 would quantize
+                workers=1,
+            )
         )
     return pair_series(edit_ratio, a, b)
 
@@ -416,8 +440,12 @@ def jaro_winkler_series(a: pd.Series, b: pd.Series) -> pd.Series:
         bv = b.fillna("").astype(str).to_numpy()
         return pd.Series(
             _RF["process"].cpdist(
-                av, bv, scorer=_RF["JW"].similarity, workers=1
-            ).astype(np.float64)
+                av,
+                bv,
+                scorer=_RF["JW"].similarity,
+                dtype=np.float64,  # default float32 would quantize
+                workers=1,
+            )
         )
     return pair_series(jaro_winkler, a, b)
 

@@ -90,6 +90,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError("only 24-bpp uncompressed BMP is supported")
     flip = h > 0
     h = abs(h)
+    if h == 0 or w <= 0:
+        raise ValueError("degenerate BMP dimensions")
     row_bytes = (w * 3 + 3) & ~3
     if len(payload) < data_off + h * row_bytes:
         raise ValueError("truncated BMP payload")

@@ -29,8 +29,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from entity_resolution__spark.operators.textstats import tokens_col
-
 # Java-regex ∩ RE2 safe patterns (no lookaround, no backrefs).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
@@ -51,9 +49,14 @@ def pii_scrub(
     text (so an IP is one <IP>, not also a phone hit) — the oracle SQL
     applies the identical composition.
 
+    NULL text is treated as empty (0 hits, empty redacted text): under
+    non-ANSI Spark, size(regexp_extract_all(NULL)) is -1 — a nonsense
+    count that would also diverge from the SQL oracle's NULL (round-5
+    review; the other hygiene operators already null-guard).
+
     Output: (id, text [redacted], n_emails, n_ips, n_phones).
     """
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     after_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
     scrubbed = F.regexp_replace(after_ip, PHONE_RE, "<PHONE>")
@@ -107,7 +110,15 @@ def hash_stratified_sample(
     rate_expr = None
     for g, r in sorted(rates.items()):
         cond = F.col(group_col) == F.lit(g)
-        thr = F.lit(int(round(r * n_buckets)))
+        # quantization floor: a configured positive rate below the
+        # 1/n_buckets granularity would round to threshold 0 and
+        # silently drop the whole group (round-5 review) — clamp to ≥1
+        # bucket and document that rates quantize no lower than
+        # 1/n_buckets
+        thr_i = int(round(r * n_buckets))
+        if r > 0 and thr_i == 0:
+            thr_i = 1
+        thr = F.lit(thr_i)
         rate_expr = (
             F.when(cond, thr) if rate_expr is None else rate_expr.when(cond, thr)
         )
@@ -128,18 +139,15 @@ def ngram_stats(
 
     Output: (ngram, n_docs), ordered count DESC then ngram ASC, LIMIT k.
     """
-    toks = tokens_col(F.col(text_col))
-    # guard: sequence(1, stop) DESCENDS when stop < 1 (docs shorter than
-    # n tokens) — emit an empty list instead
-    grams = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # Reuse the zip_with shingle builder: the obvious alternative — a
+    # transform lambda indexing back into the token array — re-evaluates
+    # the captured regexp tokenization PER ELEMENT (no CSE across the
+    # Catalyst lambda boundary; dedup.ngram_shingles documents the
+    # measured ~50× blowup). ngram_shingles already yields the distinct
+    # space-joined n-gram set with the short-doc guard built in.
+    from entity_resolution__spark.operators.dedup import ngram_shingles
+
+    grams = ngram_shingles(F.col(text_col), n=n)
     return (
         df.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
