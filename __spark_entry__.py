@@ -472,6 +472,38 @@ def q_graph_modularity(spark, sf):
     return spark.createDataFrame([(round(q, 6),)], "modularity double")
 
 
+def q_shipping_priority(spark, sf):
+    """TPC-H Q3 shape (shipping priority): filtered customer dim
+    BROADCAST into orders, the pruned join keyed on orderkey against
+    pre-filtered lineitem, per-order revenue, deterministic top-10.
+    The plan the optimizer should pick at 100 TB: both date filters
+    reach the parquet scans, the segment-filtered dim broadcasts."""
+    cut = F.lit("1998-06-15").cast("timestamp")
+    c = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < cut)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > cut)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 def q_events_retention(spark, sf):
     """Classic cohort-retention rollup over the events table: users
     grouped by first-seen day, activity counted per day offset — two
@@ -683,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "hash_sample": q_hash_sample,
         "ngram_stats": q_ngram_stats,
+        "shipping_priority": q_shipping_priority,
         "events_retention": q_events_retention,
         "chunk_documents": q_chunk_documents,
         "simhash_neardup": q_simhash_neardup,
@@ -1248,6 +1281,25 @@ def oracle_sql() -> dict[str, str]:
         "simhash": f"""
             WITH {_SIMHASH_CTE}
             SELECT doc_id, simhash FROM sh
+        """,
+        # shipping_priority (round 5): TPC-H Q3 shape, deterministic
+        # top-10 (revenue DESC, orderdate, orderkey)
+        "shipping_priority": r"""
+            SELECT l.l_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S')
+                     AS o_orderdate,
+                   o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                     AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-15'
+              AND l.l_shipdate > TIMESTAMP '1998-06-15'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
         """,
         # events_retention (round 5): first-seen-day cohorts × day
         # offsets, distinct-user counts
