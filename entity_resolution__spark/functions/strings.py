@@ -296,6 +296,55 @@ def metaphone(word: str) -> str:  # noqa: C901 - algorithm is a rule table
 _RF = None  # module handle when the accelerated path is live
 
 
+def _parity_battery() -> list[tuple[str, str]]:
+    """The probe's input corpus: 13 curated pairs pinning known branch
+    points, plus a ~300-pair seeded randomized corpus (round-5 ADVICE —
+    an accelerated deployment is the ONLY place the probe runs against
+    the real library, so widen it: unicode casing, long-common-prefix
+    floats, mutation near-misses). Deterministic (fixed seed) so a
+    rejection is reproducible; exposed as a function so CI — which has
+    no rapidfuzz — still exercises corpus generation + the pure kernels
+    over it (tests/test_strings.py)."""
+    battery = [
+        ("", ""), ("", "abc"), ("martha", "marhta"), ("dixon", "dicksonx"),
+        ("jellyfish", "smellyfish"), ("ABCVWXYZ", "CABVWUXYZ"),
+        ("duane", "dwayne"), ("a" * 70 + "b", "b" + "a" * 70),
+        ("kitten", "sitting"), ("résumé", "resume"), ("x", "x"),
+        # shared prefix but jaro ≤ 0.7: exercises the Winkler BOOST
+        # THRESHOLD branch — a rapidfuzz build applying the prefix bonus
+        # unconditionally must be rejected here (round-5 review)
+        ("abcdef", "abzzzz"), ("prefab", "prezzzzzzzz"),
+    ]
+    import random as _random
+
+    _rng = _random.Random(0x5EED)
+    _alpha = "abcdefghijklmnopqrstuvwxyz ÀÉüßшź日本語0123456789'-"
+
+    def _rand_str(max_len):
+        return "".join(
+            _rng.choice(_alpha) for _ in range(_rng.randrange(max_len + 1))
+        )
+
+    for _ in range(150):  # independent pairs: full length/overlap spread
+        battery.append((_rand_str(40), _rand_str(40)))
+    for _ in range(150):  # mutation pairs: near-matches hit the scoring
+        s = _rand_str(30)  # branches (prefix bonus, transpositions)
+        t = list(s)
+        for _i in range(_rng.randrange(4)):
+            if not t:
+                break
+            op = _rng.randrange(3)
+            p = _rng.randrange(len(t))
+            if op == 0:
+                t[p] = _rng.choice(_alpha)
+            elif op == 1:
+                del t[p]
+            else:
+                t.insert(p, _rng.choice(_alpha))
+        battery.append((s, "".join(t)))
+    return battery
+
+
 def _probe_rapidfuzz():
     import os as _os
 
@@ -308,16 +357,7 @@ def _probe_rapidfuzz():
         from rapidfuzz import process as _process
     except ImportError:
         return None
-    battery = [
-        ("", ""), ("", "abc"), ("martha", "marhta"), ("dixon", "dicksonx"),
-        ("jellyfish", "smellyfish"), ("ABCVWXYZ", "CABVWUXYZ"),
-        ("duane", "dwayne"), ("a" * 70 + "b", "b" + "a" * 70),
-        ("kitten", "sitting"), ("résumé", "resume"), ("x", "x"),
-        # shared prefix but jaro ≤ 0.7: exercises the Winkler BOOST
-        # THRESHOLD branch — a rapidfuzz build applying the prefix bonus
-        # unconditionally must be rejected here (round-5 review)
-        ("abcdef", "abzzzz"), ("prefab", "prezzzzzzzz"),
-    ]
+    battery = _parity_battery()
     for a, b in battery:
         if _LCSseq.similarity(a, b) != lcs_len(a, b):
             return None

@@ -120,7 +120,27 @@ def _local_dsu_components(edges: DataFrame) -> DataFrame:
     # 0.06s (numpy array iteration vs Row __getitem__), tuple-list
     # createDataFrame 0.87s → from-pandas 0.56s; leg total 1.52s →
     # 0.79s (−48%). Same output, same contract.
-    pdf = edges.select("src", "dst").toPandas()
+    # Null endpoints are dropped BEFORE the transfer (round-5 ADVICE):
+    # pandas widens an integer column containing any null to float64,
+    # silently corrupting node ids (NaN dict keys; precision loss above
+    # 2^53) where the old Row path surfaced None. A null endpoint is a
+    # malformed edge on either path — excluding it matches the
+    # distributed loop, whose u>v / u!=v comparisons drop nulls too.
+    pdf = edges.select("src", "dst").na.drop(subset=["src", "dst"]).toPandas()
+    import pandas.api.types as _pt
+    from pyspark.sql import types as T
+
+    for c in ("src", "dst"):
+        if _pt.is_float_dtype(pdf[c]) and not isinstance(
+            edges.schema[c].dataType, (T.FloatType, T.DoubleType)
+        ):
+            # belt-and-braces: no nulls remain, so a float dtype for an
+            # integral Spark type means the Arrow path changed — fail
+            # fast rather than hand NaN/lossy ids to the DSU
+            raise TypeError(
+                f"_local_dsu_components: column {c!r} arrived as "
+                f"{pdf[c].dtype} for Spark type {edges.schema[c].dataType}"
+            )
     for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
         ra, rb = find(a), find(b)
         if ra != rb:

@@ -111,13 +111,19 @@ def hash_stratified_sample(
     for g, r in sorted(rates.items()):
         cond = F.col(group_col) == F.lit(g)
         # quantization floor: a configured positive rate below the
-        # 1/n_buckets granularity would round to threshold 0 and
-        # silently drop the whole group (round-5 review) — clamp to ≥1
-        # bucket and document that rates quantize no lower than
-        # 1/n_buckets
+        # 1/n_buckets granularity rounds to threshold 0. Round 5 clamped
+        # this up to 1 bucket, but that silently samples at 1/n_buckets —
+        # e.g. 100x a requested 1e-6 with the default 10k buckets
+        # (round-5 ADVICE). The caller asked for a rate the coordinate
+        # cannot express; that's their call to make — raise so they can
+        # widen n_buckets instead of shipping a 100x-oversized sample.
         thr_i = int(round(r * n_buckets))
         if r > 0 and thr_i == 0:
-            thr_i = 1
+            raise ValueError(
+                f"hash_stratified_sample: rate {r!r} for group {g!r} is "
+                f"below the 1/{n_buckets} quantum (rounds to 0 buckets); "
+                f"raise n_buckets to at least {int(1 / r)} to express it"
+            )
         thr = F.lit(thr_i)
         rate_expr = (
             F.when(cond, thr) if rate_expr is None else rate_expr.when(cond, thr)

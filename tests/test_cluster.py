@@ -209,6 +209,30 @@ def test_self_loop_parity_local_vs_distributed(spark):
     assert lrows == drows == {("a", "a"), ("b", "a")}
 
 
+def test_local_dsu_null_edges_dropped_not_corrupted(spark):
+    """Round-5 ADVICE: integer edge endpoints with nulls widen to
+    float64 in pandas (NaN dict keys, >2^53 precision loss). The DSU
+    path now drops null endpoints BEFORE the Arrow transfer — matching
+    the distributed loop, whose u>v/u!=v comparisons drop them — and the
+    surviving long ids stay exact integers."""
+    from entity_resolution__spark.operators.cluster import (
+        _local_dsu_components,
+    )
+
+    big = 2**60 + 1  # would lose precision if routed through float64
+    e = spark.createDataFrame(
+        [(1, 2), (None, 3), (4, None), (big, big + 2)],
+        "src long, dst long",
+    )
+    got = {(r["node"], r["root"]) for r in _local_dsu_components(e).collect()}
+    # null edges contribute nothing; 3 appears in no valid edge
+    assert got == {(1, 1), (2, 1), (big, big), (big + 2, big)}
+    # distributed path parity on the same input
+    dist = connected_components(e, local_threshold=0)
+    drows = {(r["node"], r["root"]) for r in dist.assignments.collect()}
+    assert drows == got
+
+
 def test_distributed_cc_at_size(spark):
     """Round-4 VERDICT #4: exercise the star loop AT SIZE — >100k chain
     edges (bench runs the same generator at 1.05M), forced past the DSU

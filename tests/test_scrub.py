@@ -63,6 +63,23 @@ def test_hash_sample_deterministic_and_rate(spark):
     assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
 
 
+def test_hash_sample_subquantum_rate_raises(spark):
+    """A positive rate below 1/n_buckets can't be expressed by the bucket
+    coordinate; round 5 silently clamped it 100x up — now it raises with
+    the n_buckets needed to express it (round-5 ADVICE)."""
+    d = _docs(spark, [(1, "t", "en")]).select("doc_id", "lang")
+    with pytest.raises(ValueError, match="below the 1/10000 quantum"):
+        hash_stratified_sample(d, rates={"en": 1e-6})
+    # same rate with enough buckets is fine
+    assert (
+        hash_stratified_sample(d, rates={"en": 1e-6}, n_buckets=1_000_000)
+        .count()
+        <= 1
+    )
+    # rate exactly at the quantum is fine (rounds to 1 bucket)
+    hash_stratified_sample(d, rates={"en": 1e-4}).count()
+
+
 def test_hash_bucket_matches_duckdb(spark):
     """The bucket must be engine-portable: Spark conv(md5-hex) equals
     DuckDB's ('0x'||hex)::BIGINT parse for the same ids."""

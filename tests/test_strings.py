@@ -184,6 +184,31 @@ def test_kernel_batch_invariance():
         assert solo[col][0] == packed[col][len(filler)]  # bitwise equal
 
 
+def test_parity_battery_generation_and_pure_kernels():
+    """The probe corpus itself must be exercisable WITHOUT rapidfuzz
+    (round-5 ADVICE widened it to ~300 seeded random pairs — this is the
+    CI guard that the generation code and the pure kernels over it don't
+    break, since the probe body only runs in accelerated deployments)."""
+    b1 = K._parity_battery()
+    b2 = K._parity_battery()
+    assert b1 == b2  # deterministic (fixed seed)
+    assert len(b1) == 13 + 300
+    # curated head preserved (the known branch-point pins)
+    assert b1[2] == ("martha", "marhta")
+    seen_nonascii = False
+    for a, b in b1:
+        er, jw, lr = K.edit_ratio(a, b), K.jaro_winkler(a, b), K.lcs_ratio(a, b)
+        for v in (er, jw, lr):
+            assert 0.0 <= v <= 1.0
+        assert K.lcs_len(a, b) <= min(len(a), len(b))
+        seen_nonascii = seen_nonascii or any(ord(c) > 127 for c in a + b)
+    assert seen_nonascii  # unicode coverage actually present
+    # mutation pairs produce near-matches: the high-similarity band the
+    # curated set undersamples must be populated
+    highs = sum(1 for a, b in b1[163:] if K.edit_ratio(a, b) > 0.9 and a)
+    assert highs > 50
+
+
 def test_rapidfuzz_parity_if_available():
     """Round-4 VERDICT #6: the optional C-accelerated kernel path. When
     rapidfuzz is importable the import-time probe must have accepted it
