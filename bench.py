@@ -55,6 +55,41 @@ HEADLINE = [
 
 BENCH_ENTITIES = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "6000"))
 
+# Quiet-host reference for the v2 single-thread speed probe
+# (BASELINE.md round 5: 0.243-0.255 steady-state at load < 0.4).
+PROBE_REF_SEC = 0.25
+
+# Clean-host engine cpu_sec calibrations (BASELINE.md round 5): total
+# process-tree CPU at fixed input is parallelism-invariant (~700-740
+# cpu-s at 2.14M turns for every clean local[2]/local[8] leg), so a leg
+# whose cpu_sec deviates >25% from its input's calibration ran
+# cycle-diluted — even when loadavg and cpu/wall read clean (the
+# round-5 co-tenant SMT dilution failure mode). Round-5 VERDICT #1:
+# validity must gate on THIS, not just load+cpu/wall (BENCH_r05's
+# cc_atsize passed `valid` while burning 2.9× the calibration).
+# cc_atsize: unlike the compute-bound ER pipeline, the barrier-bound CC
+# loop's cpu_sec is NOT parallelism-invariant — 11 shuffle rounds at 32
+# threads pay a per-thread scheduler/spin tax (round-6 measurement:
+# 263-267 cpu-s / 41-48 s wall at local[8] vs 2,159 cpu-s / 188 s wall
+# at local[32], same 1.05M edges, both quiet windows). Calibration is
+# therefore per-master; the bench runs the leg at local[8] by default
+# (SPARK_GRAFT_CC_CPUS overrides) — identical distributed code path,
+# 4.4× better wall, and the level a per-executor-core count on a real
+# cluster resembles more closely than one 32-thread JVM.
+CC_CAL_CPU_SEC = {"local[8]": 265.0, "local[32]": 2159.0}
+ER_CAL_CPU_SEC = {6000: 110.0, 32000: 725.0}  # by n_entities
+
+
+def _cpu_match(cpu: float, cal: float | None) -> dict:
+    """cpu-matching verdict vs a clean calibration: ratio + boolean
+    (±25%). cal=None (no calibration for this input) → both None; the
+    caller's validity gate then falls back to the load/cpu-per-wall
+    checks alone."""
+    if not cal:
+        return {"cpu_vs_cal": None, "cpu_matched": None}
+    r = cpu / cal
+    return {"cpu_vs_cal": round(r, 3), "cpu_matched": bool(0.75 <= r <= 1.25)}
+
 
 # Scaling evidence runs N vs 4N cores. Default 2→8 (not 8→32): this
 # sandbox host carries ~7 cores of ambient co-tenant load ("0 user",
@@ -196,6 +231,18 @@ def _cpu_speed_probe() -> float:
     return round(time.monotonic() - t0, 3)
 
 
+def _er_calibration(path: str) -> float | None:
+    """Clean-host cpu_sec calibration for an ER fixture path (entity
+    count is the `_e{n}` suffix written by _bench_transcripts_path)."""
+    base = os.path.basename(path.rstrip("/"))
+    if "_e" in base:
+        try:
+            return ER_CAL_CPU_SEC.get(int(base.rsplit("_e", 1)[1]))
+        except ValueError:
+            return None
+    return None
+
+
 def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
     """One full ER run (no checkpoint store): returns wall + turns/sec +
     per-stage wall times + host load snapshots (shared-box attribution —
@@ -252,6 +299,9 @@ def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
         # (self-load-contaminated; kept to show drift)
         "probe_sec": probe0,
         "probe_sec_end": _cpu_speed_probe(),
+        # cpu-matching vs the clean calibration for this input (round-5
+        # VERDICT #1); the entity count is encoded in the fixture path
+        **_cpu_match(cpu, _er_calibration(path)),
         "turns": n_turns,
         "turns_per_sec": round(n_turns / wall, 1),
         "clusters": n_clusters,
@@ -310,7 +360,9 @@ def _er_summary(run: dict) -> dict:
     return {
         "wall_sec": run["wall_sec"],
         "turns_per_sec": run["turns_per_sec"],
+        "cpu_sec": run.get("cpu_sec"),
         "cpu_per_wall": run["cpu_per_wall"],
+        "cpu_matched": run.get("cpu_matched"),
         "probe_sec": run.get("probe_sec"),
         "master": run["master"],
     }
@@ -347,14 +399,31 @@ def run_cc_at_size(spark) -> dict:
         "cpu_per_wall": round(cpu / wall, 2),
         "probe_sec": probe0,
         "load_1m_start": round(load0, 2),
+        **_cpu_match(
+            cpu,
+            CC_CAL_CPU_SEC.get(spark.sparkContext.master)
+            if n_edges == 1_050_000
+            else None,
+        ),
         # threshold scales with the session's thread count (round-5
         # review: the old fixed 1.5 encoded a local[32] calibration —
         # clean cpu/wall for the barrier-bound loop is ~1/3 of threads,
         # so 0.15·threads splits clean from fair-share-throttled at any
-        # master)
+        # master). Load threshold likewise scales with the host size
+        # (round-5 ADVICE: fixed 8.0 is too strict on a big host, too
+        # lax on an 8-core one). And the decisive check is cpu-matching
+        # vs the clean calibration (round-5 VERDICT #1): a 2.9×-diluted
+        # run must NOT read valid just because its own threads were
+        # obtained and guest load was low.
         "valid": bool(
             cpu / wall >= 0.15 * spark.sparkContext.defaultParallelism
-            and load0 < 8.0
+            and load0 < 0.25 * (os.cpu_count() or 32)
+            and (
+                _cpu_match(
+                    cpu, CC_CAL_CPU_SEC.get(spark.sparkContext.master)
+                )["cpu_matched"]
+                is not False
+            )
         ),
         "iterations": res.cc_iterations
         if hasattr(res, "cc_iterations")
@@ -446,6 +515,17 @@ def main() -> None:
                     / ratio,
                     3,
                 )
+            # the round-5 cpu-matching rule, applied pairwise: the wall
+            # ratio of two legs is a scaling measurement ONLY when their
+            # engine cpu_sec agree (±25% of each other AND each within
+            # calibration when one exists) — otherwise it measures the
+            # host-speed difference between their windows
+            c_lo, c_hi = best[lo]["cpu_sec"], best[hi]["cpu_sec"]
+            effs[f"cpu_matched_{lo}_to_{hi}"] = bool(
+                0.75 <= c_hi / c_lo <= 1.333
+                and best[lo].get("cpu_matched") is not False
+                and best[hi].get("cpu_matched") is not False
+            )
         headline = effs.get(f"efficiency_{levels[0]}_to_{levels[0] * 4}")
         # per-stage efficiency between the N→4N pair (first two levels)
         lo, hi = levels[0], levels[1] if len(levels) > 1 else levels[0]
@@ -487,16 +567,36 @@ def main() -> None:
         F.sum(_warm(F.col("id").cast("double")))
     ).collect()
     query_load: dict[str, float] = {}
+    query_probe: dict[str, float] = {}
+    query_reps: dict[str, list] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        results[name] = round(time.monotonic() - t0, 3)
+        # per-query host-speed probe (round-5 VERDICT #2: the committed
+        # r5 sweep ran at ambient load 3.2-6.2 and five walls regressed
+        # for unchanged code; loadavg alone can't attribute that). The
+        # pre-sample gates ONE retry: if the window was diluted going
+        # in, re-measure once and keep the better wall — best-of with
+        # every rep recorded, not silent cherry-picking.
+        reps = []
+        for _attempt in range(2):
+            p0 = _cpu_speed_probe()
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            reps.append(
+                {"wall": round(time.monotonic() - t0, 3), "probe_sec": p0}
+            )
+            if p0 <= 1.4 * PROBE_REF_SEC:
+                break
+        best_rep = min(reps, key=lambda r: r["wall"])
+        results[name] = best_rep["wall"]
+        query_probe[name] = best_rep["probe_sec"]
+        query_reps[name] = reps
         query_load[name] = round(os.getloadavg()[0], 2)
         print(f"  {name}: {results[name]}s", file=sys.stderr, flush=True)
     stop_spark()
-    cc_atsize = run_cc_at_size_subprocess(f"local[{cpus}]", cpus)
+    cc_cpus = int(os.environ.get("SPARK_GRAFT_CC_CPUS", "8"))
+    cc_atsize = run_cc_at_size_subprocess(f"local[{cc_cpus}]", cc_cpus)
     print(f"  cc_atsize: {cc_atsize}", file=sys.stderr, flush=True)
 
     # ER pipeline throughput: BOTH local[8] (reproducible on this host —
@@ -513,6 +613,8 @@ def main() -> None:
     detail: dict = {
         "er_all_runs": er_runs,
         "query_load_1m": query_load,
+        "query_probe_sec": query_probe,
+        "query_reps": query_reps,
         "cc_atsize": cc_atsize,
     }
     compact: dict = {"er": _er_summary(er)}
@@ -553,13 +655,24 @@ def main() -> None:
         }
         # valid needs BOTH legs un-throttled AND comparable host speed
         # (round-5: probe ratio between legs >1.25× means the ratio
-        # measures co-tenant cycle dilution, not the engine)
+        # measures co-tenant cycle dilution, not the engine) AND —
+        # decisively (round-5 VERDICT #1) — both legs cpu-MATCHED: the
+        # engine burns the same total cpu at fixed input regardless of
+        # parallelism, so a leg whose cpu_sec is off-calibration (or
+        # off its sibling's) ran diluted even if its probes read clean.
         _p1, _p2 = er.get("probe_sec"), er8.get("probe_sec")
         probe_ok = bool(_p1 and _p2 and 0.8 <= _p1 / _p2 <= 1.25)
+        _legs_cpu_ok = bool(
+            er.get("cpu_matched") is not False
+            and er8.get("cpu_matched") is not False
+            and 0.75 <= er["cpu_sec"] / er8["cpu_sec"] <= 1.333
+        )
+        compact["er_legs_cpu_matched"] = _legs_cpu_ok
         compact["er_stage_eff_valid"] = bool(
             er["cpu_per_wall"] >= 0.5 * cpus
             and er8["cpu_per_wall"] >= 0.5 * 8
             and probe_ok
+            and _legs_cpu_ok
         )
         detail["er_stage_cpw"] = {
             f"local{n}": {
@@ -597,9 +710,17 @@ def main() -> None:
         "queries": results,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **compact,
+        "query_probe_range": [
+            min(query_probe.values()),
+            max(query_probe.values()),
+        ],
         "cc_atsize": {
             k: cc_atsize[k]
-            for k in ("edges", "wall_sec", "iterations", "cpu_per_wall", "valid")
+            for k in (
+                "edges", "wall_sec", "iterations", "cpu_per_wall",
+                "cpu_vs_cal", "cpu_matched", "valid",
+            )
+            if k in cc_atsize
         },
     }
     detail["compact"] = out
