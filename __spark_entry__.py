@@ -287,6 +287,28 @@ def q_embedding_neardup(spark, sf):
     )
 
 
+def q_ivf_topk(spark, sf):
+    """IVF (inverted-file) ANN search — the declared 100 TB scale path
+    (scan touches n_probe/n_centroids of the corpus; with the
+    assignment persisted+partitioned by list_id the filter is partition
+    pruning). Engine-reproducible for the gate: centroids are the 8
+    md5-smallest corpus rows (hash-deterministic sampler), assignment
+    and centroid ranking argmax over round(cos, 6) with ties to the
+    lowest list id. Replaces the reference's exact kNN blocking
+    (scripts/run_blocking.py:28-37) at corpus scales where exact kNN
+    is infeasible."""
+    from entity_resolution__spark.operators.similarity import (
+        hash_sampled_centroids,
+        ivf_topk,
+    )
+
+    e = _t(spark, sf, "embeddings")
+    corpus = e.filter(F.col("vec_id") != 0)
+    probe = e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    C = hash_sampled_centroids(corpus, n=8)
+    return ivf_topk(corpus, C, list(probe), k=10, n_probe=3)
+
+
 def q_pricing_summary(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
@@ -700,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "knn_join": q_knn_join,
         "embedding_neardup": q_embedding_neardup,
+        "ivf_topk": q_ivf_topk,
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
         "window_order_rank": q_window_order_rank,
@@ -1037,6 +1060,51 @@ def oracle_sql() -> dict[str, str]:
                      * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))),
                   6) >= 0.25
             ORDER BY 1, 2
+        """,
+        # full IVF in SQL: same hash-deterministic centroid pick, same
+        # round-6 dot-then-divide cosine, same lowest-list-id tie-breaks
+        "ivf_topk": """
+            WITH corpus AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id <> 0
+            ),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS c
+              FROM (SELECT vec_id, v FROM corpus
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+                    LIMIT 8)
+            ),
+            probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+            assigned AS (
+              SELECT vec_id, v, list_id FROM (
+                SELECT co.vec_id, co.v, ce.list_id,
+                       row_number() OVER (
+                         PARTITION BY co.vec_id
+                         ORDER BY round(list_dot_product(co.v, ce.c)
+                             / (sqrt(list_dot_product(co.v, co.v))
+                                * sqrt(list_dot_product(ce.c, ce.c))), 6) DESC,
+                           ce.list_id ASC) AS rn
+                FROM corpus co CROSS JOIN cent ce
+              ) WHERE rn = 1
+            ),
+            plists AS (
+              SELECT list_id FROM (
+                SELECT ce.list_id,
+                       row_number() OVER (
+                         ORDER BY round(list_dot_product(ce.c, p)
+                             / (sqrt(list_dot_product(ce.c, ce.c))
+                                * sqrt(list_dot_product(p, p))), 6) DESC,
+                           ce.list_id ASC) AS rn
+                FROM cent ce CROSS JOIN probe
+              ) WHERE rn <= 3
+            )
+            SELECT a.vec_id,
+                   round(list_dot_product(a.v, p)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(p, p))), 6) AS cos_sim
+            FROM assigned a JOIN plists USING (list_id) CROSS JOIN probe
+            ORDER BY cos_sim DESC, a.vec_id ASC
+            LIMIT 10
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -297,14 +297,26 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (numpy, Arrow batch).
-    Search then probes only the query's closest centroid partitions."""
-    C = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    Search then probes only the query's closest centroid partitions.
+
+    Engine-reproducible by construction (round-6, for the oracle gate):
+    cosine is computed dot-then-divide in float64 — the same expression
+    structure a SQL engine evaluates (list_dot_product / (norm·norm)) —
+    ROUNDED to 6 decimals before the argmax, ties to the LOWEST list id
+    (np.argmax returns the first maximum). A normalized-matmul argmax on
+    raw floats would be ulp-sensitive across engines."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
 
     @pandas_udf(T.IntegerType())
     def assign(vecs: pd.Series) -> pd.Series:
-        M = np.stack(vecs.to_numpy())
-        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(Mn @ C.T, axis=1).astype(np.int32))
+        M = np.stack(vecs.to_numpy()).astype(np.float64)
+        den = np.outer(np.linalg.norm(M, axis=1), cn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(den > 0, (M @ C.T) / den, 0.0)
+        return pd.Series(
+            np.argmax(np.round(cos, 6), axis=1).astype(np.int32)
+        )
 
     return emb.select(F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("list_id"))
 
@@ -332,12 +344,14 @@ def ivf_topk(
     trade); tests measure recall against brute_topk rather than assert
     equality. Pass a precomputed `assigned` (from ivf_assign) to reuse
     the assignment across queries — the common batch-search shape."""
-    C = centroids / np.maximum(
-        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
-    )
+    # centroid ranking mirrors ivf_assign's oracle-stable form: rounded
+    # dot-then-divide cosine, stable sort so ties keep ascending list id
+    C = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(probe, dtype=np.float64)
-    qn = q / max(float(np.linalg.norm(q)), 1e-12)
-    order = np.argsort(-(C @ qn))[: max(1, n_probe)]
+    den = np.linalg.norm(C, axis=1) * float(np.linalg.norm(q))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ccos = np.where(den > 0, (C @ q) / den, 0.0)
+    order = np.argsort(-np.round(ccos, 6), kind="stable")[: max(1, n_probe)]
     lists = [int(x) for x in order]
     if assigned is None:
         assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
@@ -350,6 +364,30 @@ def ivf_topk(
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def hash_sampled_centroids(
+    emb: DataFrame,
+    n: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic centroid pick for engine-reproducible IVF: the n
+    corpus rows with the smallest md5(id) keys, with list ids assigned
+    in ascending id order. A hash sample is a fair stand-in for k-means
+    init (k-means++ seeds are random draws too) and — unlike RNG or
+    limit()-order sampling — reproduces bit-identically in any engine,
+    which is what puts ivf_topk inside the SQL-oracle gate. The pick is
+    orderBy+limit = distributed TakeOrdered of n rows, constant driver
+    memory at any corpus size."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(n)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    return np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
 
 
 def train_centroids_sample(

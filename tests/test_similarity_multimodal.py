@@ -226,3 +226,26 @@ def test_ivf_topk_search(spark, emb):
     # recall@5 of single-probe IVF vs exact must be nontrivial (the
     # probe's own cluster dominates its neighborhood)
     assert len(set(one) & {v for v, _ in exact}) >= 2
+
+
+def test_hash_sampled_centroids_deterministic(spark, emb):
+    """The gate's centroid pick: n md5-smallest rows, list ids in
+    ascending vec_id order — identical across partitionings (the
+    property that makes ivf_topk oracle-comparable)."""
+    import hashlib
+
+    from entity_resolution__spark.operators.similarity import (
+        hash_sampled_centroids,
+    )
+
+    df, rows = emb
+    C1 = hash_sampled_centroids(df, n=6)
+    C2 = hash_sampled_centroids(df.repartition(7), n=6)
+    assert C1.shape == (6, 8)
+    assert np.array_equal(C1, C2)
+
+    picked = sorted(
+        range(len(rows)), key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )[:6]
+    expect = np.array([rows[i][1] for i in sorted(picked)], dtype=np.float64)
+    assert np.array_equal(C1, expect)
