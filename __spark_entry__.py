@@ -575,10 +575,19 @@ def q_louvain_communities(spark, sf):
     ⇒ not ANSI-SQL-expressible: no oracle_sql entry, driver records the
     rows-only check; semantics are pinned by pytest (single-node repair
     CNM cannot make, exact Q=11/26 recovery, ring-of-cliques assembly,
-    run-stable labels)."""
+    run-stable labels).
+
+    Round 6 (VERDICT #4): the result is Q-CHECKED inside the gate — a
+    `q6` column carries the labeling's Newman modularity computed by
+    the INDEPENDENT distributed modularity() operator (two joins + one
+    aggregate, graph_export.py), rounded to 6. A wrong label partition
+    shifts Q, so the rows-only compare now pins a value derived from
+    every edge of the graph, not just the row count; pytest
+    cross-checks q6 against a pure-python recomputation at sf0.001."""
     from entity_resolution__spark.operators.graph_export import (
         label_propagation_communities,
         louvain_refine,
+        modularity,
     )
 
     edges = _neardup_pairs(spark, sf, n=3, threshold=0.2).select(
@@ -586,8 +595,13 @@ def q_louvain_communities(spark, sf):
         F.col("id_right").cast("string").alias("dst"),
         F.col("jaccard").alias("weight"),
     )
+    # the pair table feeds three consumers (LPA, louvain levels, the Q
+    # check) — cut the recompute like the shared ER pair table does
+    edges = edges.localCheckpoint(eager=False)
     lpa = label_propagation_communities(edges)
-    return louvain_refine(edges, lpa).orderBy("node")
+    out = louvain_refine(edges, lpa).orderBy("node")
+    q6 = round(modularity(edges, out), 6)
+    return out.withColumn("q6", F.lit(q6))
 
 
 def q_pack_sequences(spark, sf):

@@ -262,3 +262,48 @@ def test_louvain_multilevel_from_singletons_and_deterministic(spark):
     # deterministic rerun
     got2 = {r["node"]: r["community"] for r in louvain_refine(edges, singles).collect()}
     assert got == got2
+
+
+def test_gate_louvain_q6_matches_pure_python(spark):
+    """Round-6 Q-check for the one rows-only gate query: the q6 column
+    q_louvain_communities emits (distributed modularity() over the
+    Louvain labels) must equal a from-scratch pure-python Newman Q over
+    the same collected graph — two independent implementations, one
+    value. Runs the real gate query at sf0.001."""
+    import os
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        pytest.skip("driver testdata not mounted")
+    import __spark_entry__ as entrymod
+
+    out = entrymod.q_louvain_communities(spark, sf).collect()
+    assert out, "gate graph is non-empty at sf0.001"
+    q6 = {r["q6"] for r in out}
+    assert len(q6) == 1
+    q6 = q6.pop()
+    labels = {r["node"]: r["community"] for r in out}
+
+    pairs = entrymod._neardup_pairs(spark, sf, n=3, threshold=0.2).collect()
+    w: dict = {}
+    for r in pairs:
+        u, v = str(r["id_left"]), str(r["id_right"])
+        if u == v:
+            continue
+        key = (min(u, v), max(u, v))
+        w[key] = max(w.get(key, 0.0), float(r["jaccard"]))
+    m = sum(w.values())
+    assert m > 0
+    in_c: dict = {}
+    d_c: dict = {}
+    for (u, v), wt in w.items():
+        cu, cv = labels[u], labels[v]
+        if cu == cv:
+            in_c[cu] = in_c.get(cu, 0.0) + 2.0 * wt
+        d_c[cu] = d_c.get(cu, 0.0) + wt
+        d_c[cv] = d_c.get(cv, 0.0) + wt
+    m2 = 2.0 * m
+    q_py = sum(
+        in_c.get(c, 0.0) / m2 - (d_c[c] / m2) ** 2 for c in d_c
+    )
+    assert abs(q_py - q6) <= 1.5e-6
