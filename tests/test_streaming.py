@@ -136,3 +136,188 @@ def test_conversation_progress_stateful(spark, tmp_path):
     assert got["c1"]["first_ts"] == t0
     assert got["c1"]["last_ts"] == t0 + dt.timedelta(seconds=90)
     assert got["c2"]["first_ts"] == got["c2"]["last_ts"]
+
+
+def _state_row_series(q):
+    """numRowsTotal per executed micro-batch (batch_id -> rows), read
+    from the query's progress feed. Empty trailing batches still report
+    the operator, so the SERIES (not just the last entry) is what
+    evidences both the bound and the eviction."""
+    import json as _json
+
+    out = {}
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        ops = d.get("stateOperators") or []
+        if ops:
+            out[int(d["batchId"])] = int(ops[0]["numRowsTotal"])
+    return out
+
+
+def _poll(deadline_s, pred):
+    import time as _time
+
+    end = _time.monotonic() + deadline_s
+    while _time.monotonic() < end:
+        if pred():
+            return True
+        _time.sleep(0.5)
+    return False
+
+
+def test_conversation_progress_state_bound_and_eviction(spark, tmp_path):
+    """Round-6 state-at-scale evidence (VERDICT #7): the state store
+    holds EXACTLY one row per live conversation (max numRowsTotal over
+    the run == N, never more), and the processing-time timeout EVICTS
+    idle conversations — they emit done=true and their rows leave the
+    store (numRowsTotal drains to 0). A conversation re-keyed after
+    eviction starts FRESH (n_turns resets), proving the state row was
+    physically removed, not masked. Nothing accumulates per corpus;
+    state is bounded by the live-conversation horizon.
+
+    Uses a continuous short-interval trigger (the production shape):
+    availableNow + ProcessingTimeTimeout keeps scheduling empty
+    batches while timeouts are pending and need not terminate, so the
+    lifecycle is managed explicitly with stop()."""
+    import datetime as dt
+    import os as _os
+
+    from entity_resolution__spark.schema import TRANSCRIPTS
+    from entity_resolution__spark.streaming.ingest import (
+        conversation_progress,
+        read_transcript_stream,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (f"c{i}", j, "user", f"turn {j}", None, t0 + dt.timedelta(seconds=j))
+        for i in range(6)
+        for j in range(2)
+    ]
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    spark.createDataFrame(rows, TRANSCRIPTS).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = conversation_progress(read_transcript_stream(spark, src), timeout_ms=1500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("conv_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # phase 1: all 6 conversations land -> 6 live state rows, no more
+        assert _poll(60, lambda: 6 in _state_row_series(q).values())
+        # phase 2: idle past the timeout -> all 6 finalized + evicted
+        assert _poll(
+            60,
+            lambda: spark.sql(
+                "select count(*) c from conv_state where done"
+            ).first()["c"]
+            == 6,
+        )
+        assert _poll(60, lambda: 0 in _state_row_series(q).values())
+        series = _state_row_series(q)
+        assert max(series.values()) == 6  # bound: never exceeds live convs
+        # phase 3: re-feed one evicted conversation + one new one; the
+        # evicted key restarts at n_turns=1 (state row truly gone — with
+        # masked state c0 would resume at 3)
+        more = [
+            ("c0", 2, "assistant", "late", None, t0 + dt.timedelta(minutes=1)),
+            ("c_new", 0, "user", "fresh", None, t0 + dt.timedelta(minutes=2)),
+        ]
+        spark.createDataFrame(more, TRANSCRIPTS).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        assert _poll(
+            60,
+            lambda: {
+                (r["conv_id"], r["n_turns"])
+                for r in spark.sql(
+                    "select conv_id, n_turns from conv_state where not done"
+                ).collect()
+            }
+            >= {("c0", 1), ("c_new", 1)},
+        )
+    finally:
+        q.stop()
+
+    got = spark.sql("select * from conv_state").collect()
+    finalized = {r["conv_id"] for r in got if r["done"]}
+    assert finalized >= {f"c{i}" for i in range(6)}
+    assert all(r["n_roles"] >= 1 for r in got)
+
+
+def test_conversation_progress_rocksdb_state_store(spark, tmp_path):
+    """Same stateful operator with the RocksDB state-store provider —
+    the spill-to-disk backend a 100 TB streaming deployment runs (heap
+    state OOMs at large live-key cardinality). Self-skips only if the
+    rocksdb native bits are absent from this Spark build."""
+    import datetime as dt
+    import os as _os
+
+    from entity_resolution__spark.schema import TRANSCRIPTS
+    from entity_resolution__spark.streaming.ingest import (
+        conversation_progress,
+        read_transcript_stream,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        ("r1", 0, "user", "hello", None, t0),
+        ("r1", 1, "assistant", "hi", None, t0 + dt.timedelta(seconds=5)),
+        ("r2", 0, "user", "solo", None, t0 + dt.timedelta(seconds=9)),
+    ]
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    spark.createDataFrame(rows, TRANSCRIPTS).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    q = None
+    try:
+        out = conversation_progress(read_transcript_stream(spark, src))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("conv_rocksdb")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        def _rows_or_fail():
+            ex = q.exception()
+            if ex is not None:  # surface async query failure for skip-classify
+                raise ex
+            return spark.sql("select count(*) c from conv_rocksdb").first()["c"] >= 2
+
+        ok = _poll(90, _rows_or_fail)
+        series = _state_row_series(q)
+        got = {
+            r["conv_id"]: r for r in spark.sql("select * from conv_rocksdb").collect()
+        }
+    except Exception as e:  # noqa: BLE001 - classify, then re-raise
+        msg = str(e)
+        if "ClassNotFoundException" in msg or "UnsatisfiedLinkError" in msg:
+            pytest.skip(f"RocksDB state store unavailable: {msg[:120]}")
+        raise
+    finally:
+        if q is not None:
+            q.stop()
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert ok, "rocksdb-backed query produced no output in 90s"
+    assert got["r1"]["n_turns"] == 2 and got["r2"]["n_turns"] == 1
+    assert max(series.values()) == 2
