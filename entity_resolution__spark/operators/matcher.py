@@ -92,6 +92,61 @@ class BoostedMatcher:
         return 1.0 / (1.0 + np.exp(-z))
 
 
+@dataclass
+class XGBMatcher:
+    """Opt-in wrapper around the ACTUAL xgboost library with the
+    reference's exact hyperparameters (models/pairwise_classifier.py:
+    271-279: 600 trees, depth 6, lr 0.05, subsample/colsample 0.9,
+    hist, logloss, scale_pos_weight, seed 42) for deployments that
+    have it installed and accept its floating-point nondeterminism.
+    The default engine path stays the deterministic Newton trees
+    (BoostedTreeMatcher) — same capacity shape, bit-reproducible.
+    Same predict_proba/threshold/feature_cols surface, so the pickled
+    booster broadcasts into apply_matcher unchanged."""
+
+    booster: object  # xgboost.XGBClassifier (picklable)
+    mean: np.ndarray
+    std: np.ndarray
+    threshold: float
+    feature_cols: list[str]
+    metrics: dict
+
+    def predict_proba(self, X: pd.DataFrame) -> np.ndarray:
+        Z = (X[self.feature_cols].to_numpy(dtype=np.float64) - self.mean) / self.std
+        return self.booster.predict_proba(Z)[:, 1]
+
+
+def _fit_xgb(X: np.ndarray, y: np.ndarray, seed: int = 42):
+    """Reference hyperparameters verbatim; n_jobs pinned to 1 (the
+    reference's -1 adds thread-schedule nondeterminism on top of
+    hist's float accumulation — one of the two is avoidable)."""
+    try:
+        from xgboost import XGBClassifier
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "model='xgb' needs the xgboost package (pip install xgboost); "
+            "the built-in deterministic equivalent is model='gbdt', depth=6"
+        ) from e
+    pos = max(float(y.sum()), 1.0)
+    neg = max(float(len(y) - y.sum()), 1.0)
+    clf = XGBClassifier(
+        n_estimators=600,
+        max_depth=6,
+        learning_rate=0.05,
+        subsample=0.9,
+        colsample_bytree=0.9,
+        reg_lambda=1.0,
+        objective="binary:logistic",
+        tree_method="hist",
+        n_jobs=1,
+        eval_metric="logloss",
+        scale_pos_weight=neg / pos,
+        random_state=seed,
+    )
+    clf.fit(X, y.astype(int))
+    return clf
+
+
 def _fit_stumps(
     X: np.ndarray,
     y: np.ndarray,
@@ -314,15 +369,17 @@ def train_matcher(
     seed: int = 42,
     model: str = "logreg",
     depth: int = 1,
-) -> TrainedMatcher | BoostedMatcher | BoostedTreeMatcher:
+) -> TrainedMatcher | BoostedMatcher | BoostedTreeMatcher | XGBMatcher:
     """5-fold stratified OOF CV → F1-optimal threshold → refit on all
     (reference M1+M2, pairwise_classifier.py:284-371). Deterministic in
-    (data, seed). ``model``: "logreg" (default) or "gbdt" (boosted
+    (data, seed). ``model``: "logreg" (default), "gbdt" (boosted
     stumps — the reference's {logreg|rf|xgb} choice, pairwise_
-    classifier.py:259-279, minus the nondeterminism). ``depth`` > 1 with
-    model="gbdt" grows fixed-depth Newton trees instead of stumps
-    (closes the stump-vs-XGBoost capacity gap on interaction features;
-    depth=1 keeps the legacy bit-exact stump path)."""
+    classifier.py:259-279, minus the nondeterminism), or "xgb" (the
+    REAL xgboost library with the reference's exact hyperparameters —
+    opt-in, requires the package, forfeits bit-determinism). ``depth``
+    > 1 with model="gbdt" grows fixed-depth Newton trees instead of
+    stumps (closes the stump-vs-XGBoost capacity gap on interaction
+    features; depth=1 keeps the legacy bit-exact stump path)."""
     cols = feature_cols or FEATURE_COLS
     X = labeled_features[cols].to_numpy(dtype=np.float64)
     y = labeled_features["label"].to_numpy(dtype=np.float64)
@@ -331,6 +388,8 @@ def train_matcher(
     Z = (X - mean) / std
 
     def fit_predict(Ztr, ytr, Zte):
+        if model == "xgb":
+            return _fit_xgb(Ztr, ytr, seed=seed).predict_proba(Zte)[:, 1]
         if model == "gbdt" and depth > 1:
             base, trees = _fit_trees(Ztr, ytr, depth=depth)
             z = np.full(len(Zte), base)
@@ -386,6 +445,15 @@ def train_matcher(
         "n_pos": int(y.sum()),
         "n": len(y),
     }
+    if model == "xgb":
+        return XGBMatcher(
+            booster=_fit_xgb(Z, y, seed=seed),
+            mean=mean,
+            std=std,
+            threshold=thr,
+            feature_cols=list(cols),
+            metrics=metrics,
+        )
     if model == "gbdt" and depth > 1:
         base, trees = _fit_trees(Z, y, depth=depth)
         return BoostedTreeMatcher(
