@@ -333,7 +333,9 @@ def run_er_pipeline_subprocess(master: str, shuffle: int, path: str) -> dict:
         [sys.executable, os.path.abspath(__file__), "--er-child",
          master, str(shuffle), path],
         capture_output=True, text=True, env=os.environ.copy(),
-        timeout=1800,
+        # default fits the 2.14M-turn legs; the ≥4M-turn scaling pair
+        # needs ~1h for its local[2] leg (round-6 VERDICT #5)
+        timeout=int(os.environ.get("SPARK_GRAFT_CHILD_TIMEOUT", "3600")),
     )
     for line in (p.stdout or "").splitlines():
         if line.startswith("ERJSON "):
@@ -443,7 +445,9 @@ def run_cc_at_size_subprocess(master: str, shuffle: int) -> dict:
         [sys.executable, os.path.abspath(__file__), "--cc-child",
          master, str(shuffle)],
         capture_output=True, text=True, env=os.environ.copy(),
-        timeout=1800,
+        # default fits the 2.14M-turn legs; the ≥4M-turn scaling pair
+        # needs ~1h for its local[2] leg (round-6 VERDICT #5)
+        timeout=int(os.environ.get("SPARK_GRAFT_CHILD_TIMEOUT", "3600")),
     )
     for line in (p.stdout or "").splitlines():
         if line.startswith("CCJSON "):
@@ -596,7 +600,19 @@ def main() -> None:
         print(f"  {name}: {results[name]}s", file=sys.stderr, flush=True)
     stop_spark()
     cc_cpus = int(os.environ.get("SPARK_GRAFT_CC_CPUS", "8"))
-    cc_atsize = run_cc_at_size_subprocess(f"local[{cc_cpus}]", cc_cpus)
+    # one dilution-gated retry, mirroring the per-query retry: a window
+    # that fails the cpu-matching gate (co-tenant cycle dilution —
+    # observed 2.85× cal with probe 5.9 in a sweep-adjacent window that
+    # re-measured clean at 0.92× minutes later) gets a second chance;
+    # both attempts are recorded, valid-preferred then lowest-cpu kept.
+    cc_attempts = [run_cc_at_size_subprocess(f"local[{cc_cpus}]", cc_cpus)]
+    if not cc_attempts[0]["valid"]:
+        time.sleep(30)  # let the sweep JVM teardown / load transient pass
+        cc_attempts.append(run_cc_at_size_subprocess(f"local[{cc_cpus}]", cc_cpus))
+    cc_atsize = max(
+        cc_attempts, key=lambda r: (bool(r["valid"]), -r["cpu_sec"])
+    )
+    cc_atsize = dict(cc_atsize, attempts=cc_attempts)
     print(f"  cc_atsize: {cc_atsize}", file=sys.stderr, flush=True)
 
     # ER pipeline throughput: BOTH local[8] (reproducible on this host —
