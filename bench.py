@@ -256,6 +256,21 @@ def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
     probe0 = _cpu_speed_probe()
     load0 = os.getloadavg()
     spark = get_spark("bench-er", master=master, shuffle_partitions=shuffle)
+
+    # cumulative JVM GC seconds (all collectors) via py4j — splits each
+    # stage's cpu_sec into mutator vs collector. Round-6 finding: the
+    # "co-tenant dilution" on local[N≤8] legs was mostly G1 sizing ~23
+    # GC workers off the 32-core HOST (see session.py gc_opts); this
+    # probe makes any residual GC share auditable per stage.
+    def _gc_sec() -> float:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory  # noqa: SLF001
+            .getGarbageCollectorMXBeans()
+        )
+        return sum(
+            beans.get(i).getCollectionTime() for i in range(beans.size())
+        ) / 1000.0
+
     sdf = spark.read.parquet(path)
     n_turns = sdf.count()
     # steady-state measurement: warm JVM codegen + Python UDF workers
@@ -275,9 +290,14 @@ def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
         F.sum(_warm(F.col("id").cast("double")))
     ).collect()
     cpu0 = _proc_tree_cpu()
+    gcs0 = _gc_sec()
     t0 = time.monotonic()
     res = run_pipeline(
-        spark, sdf, ERConfig(stage_timing=True, cpu_probe=_proc_tree_cpu)
+        spark,
+        sdf,
+        ERConfig(
+            stage_timing=True, cpu_probe=_proc_tree_cpu, gc_probe=_gc_sec
+        ),
     )
     row = res.clusters.agg(
         F.count(F.lit(1)).alias("n"),
@@ -286,6 +306,7 @@ def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
     n_clusters = int(row["k"])
     wall = time.monotonic() - t0
     cpu = _proc_tree_cpu() - cpu0
+    gcs = _gc_sec() - gcs0
     out = {
         "wall_sec": round(wall, 3),
         "cpu_sec": round(cpu, 1),
@@ -306,8 +327,13 @@ def run_er_pipeline(master: str, shuffle: int, path: str) -> dict:
         "turns_per_sec": round(n_turns / wall, 1),
         "clusters": n_clusters,
         "master": master,
+        # JVM collector wall-time (G1 pauses + concurrent): cpu burned
+        # by GC ≈ gc_sec × ParallelGCThreads — compare against the
+        # stage cpu inflation before blaming the host
+        "gc_sec": round(gcs, 1),
         "stages": res.stage_wall,
         "stages_cpu": res.stage_cpu,
+        "stages_gc": res.stage_gc,
         "cc_iterations": res.cc_iterations,
         "load_1m_start": round(load0[0], 2),
         "load_1m_end": round(os.getloadavg()[0], 2),
@@ -345,14 +371,14 @@ def run_er_pipeline_subprocess(master: str, shuffle: int, path: str) -> dict:
     )
 
 
-def _write_detail(obj: dict) -> str:
+def _write_detail(obj: dict, name: str = "BENCH_DETAIL.json") -> str:
     """Full-fidelity bench record → BENCH_DETAIL.json (round-3 VERDICT
     #2: the driver's tail window only captures ~2 KB, so the PRINTED
     line must stay compact — headline scalars only — while every rep,
-    stage split and load snapshot lands here)."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    stage split and load snapshot lands here). Scaling-only sweeps pass
+    name=SCALING_DETAIL.json so an ad-hoc scaling run can never clobber
+    the committed quiet-window query sweep (happened in round 6)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
     with open(path, "w") as f:
         json.dump(obj, f, indent=1)
     return os.path.basename(path)
@@ -548,7 +574,8 @@ def main() -> None:
             "entities": SCALING_ENTITIES,
         }
         out["detail"] = _write_detail(
-            {"all_runs": runs, "best": best, "compact": out}
+            {"all_runs": runs, "best": best, "compact": out},
+            name="SCALING_DETAIL.json",
         )
         print(json.dumps(out))
         return

@@ -80,8 +80,15 @@ class ERConfig:
     # VERDICT asked for this to make throttle claims auditable).
     stage_timing: bool = False
     cpu_probe: object = None
+    # gc_probe: zero-arg callable returning cumulative JVM GC seconds
+    # (bench reads GarbageCollectorMXBeans via py4j). Splits each
+    # stage's cpu_sec into mutator vs collector: at the 4.3M-turn
+    # input the un-attributed local[8] cpu inflation vs local[2] could
+    # be GC (scales with threads × live set) or host physics — this
+    # makes the bench JSON carry the answer per stage.
+    gc_probe: object = None
 
-    _NON_SEMANTIC = ("stage_timing", "cpu_probe")
+    _NON_SEMANTIC = ("stage_timing", "cpu_probe", "gc_probe")
 
     def params(self) -> dict:
         return {
@@ -102,6 +109,7 @@ class ERResult:
     stage_rows: dict = field(default_factory=dict)
     stage_wall: dict = field(default_factory=dict)  # cfg.stage_timing=True
     stage_cpu: dict = field(default_factory=dict)  # + cfg.cpu_probe set
+    stage_gc: dict = field(default_factory=dict)  # + cfg.gc_probe set
     # store-less mode: transient persisted dimensions (countries/prune)
     # still referenced by the LAZY edges/clusters plans — call
     # release_transients() once the outputs are materialized, or they
@@ -181,6 +189,7 @@ def run_pipeline(
     p = cfg.params()
     stage_wall: dict[str, float] = {}
     stage_cpu: dict[str, float] = {}
+    stage_gc: dict[str, float] = {}
 
     # Input identity folded into every stage fingerprint (else a rerun
     # with a different --input but the same warehouse would silently
@@ -203,6 +212,7 @@ def run_pipeline(
         import time as _time
 
         cpu0 = cfg.cpu_probe() if (cfg.stage_timing and cfg.cpu_probe) else None
+        gc0 = cfg.gc_probe() if (cfg.stage_timing and cfg.gc_probe) else None
         t0 = _time.monotonic()
         if store is None:
             # no snapshot store: still materialize the stage boundary once
@@ -228,6 +238,8 @@ def run_pipeline(
         stage_wall[name] = round(_time.monotonic() - t0, 3)
         if cpu0 is not None:
             stage_cpu[name] = round(cfg.cpu_probe() - cpu0, 3)
+        if gc0 is not None:
+            stage_gc[name] = round(cfg.gc_probe() - gc0, 3)
         return out
 
     # canonicalize emits norm_text + tokens via one fused Arrow UDF
@@ -393,5 +405,6 @@ def run_pipeline(
         cc_iterations=cc_iter_store.get("iterations", 0),
         stage_wall=stage_wall,
         stage_cpu=stage_cpu,
+        stage_gc=stage_gc,
         transient_persists=list(_edge_persists),
     )

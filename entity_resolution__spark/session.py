@@ -26,6 +26,26 @@ def get_spark(
         # local[N] → N; keeps shuffles 1 task/core, AQE coalesces further.
         shuffle_partitions = cpus if "local" in master else 2 * cpus
 
+    # Pin GC worker threads to the task parallelism. JVM ergonomics size
+    # G1's thread pools from the HOST core count (~5/8×32 ≈ 23 parallel
+    # GC workers on this box) no matter how few task threads local[N]
+    # runs — so under allocation pressure every GC cycle burns ~23
+    # threads of cpu against an N-thread workload. Measured at the
+    # 4.3M-turn input, local[8]: wall 588 s → 328 s, engine cpu 3,939 →
+    # 2,495 cpu-s, scores-stage cpu back to parity with the local[2]
+    # leg (1,249 vs 1,176 cpu-s) — the un-pinned runs' cpu inflation
+    # that looked like co-tenant dilution was GC ergonomics. On a real
+    # cluster each executor JVM sees its cgroup quota and sizes GC
+    # accordingly; local[N] on a big box must do it explicitly.
+    gc_opts = ""
+    if master.startswith("local"):
+        inner = master[master.index("[") + 1 : -1] if "[" in master else "1"
+        n_threads = (os.cpu_count() or 32) if inner == "*" else int(inner)
+        gc_opts = (
+            f"-XX:ParallelGCThreads={max(2, n_threads)}"
+            f" -XX:ConcGCThreads={max(1, n_threads // 4)}"
+        )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -40,6 +60,7 @@ def get_spark(
         # tasks over array-heavy payloads GC-thrash a 24g heap (measured:
         # blocks/pairs stages 5-10x slower at local[32] on 2M-turn input)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "56g"))
+        .config("spark.driver.extraJavaOptions", gc_opts)
         .config("spark.ui.enabled", "false")
         # console progress bar pushes large \r-frames through stderr every
         # 200ms — megabytes per run through a piped/captured stderr, and a
