@@ -77,7 +77,10 @@ PROBE_REF_SEC = 0.25
 # 4.4× better wall, and the level a per-executor-core count on a real
 # cluster resembles more closely than one 32-thread JVM.
 CC_CAL_CPU_SEC = {"local[8]": 265.0, "local[32]": 2159.0}
-ER_CAL_CPU_SEC = {6000: 110.0, 32000: 725.0}  # by n_entities
+# by n_entities; 256000 from the round-6 matched pair (clean local[2]
+# leg 1,513.7 cpu-s at 4.29M turns — 2.09× the 32k calibration, i.e.
+# cpu_sec stays linear in turns as well as parallelism-invariant)
+ER_CAL_CPU_SEC = {6000: 110.0, 32000: 725.0, 256000: 1510.0}
 
 
 def _cpu_match(cpu: float, cal: float | None) -> dict:
@@ -229,6 +232,33 @@ def _cpu_speed_probe() -> float:
     t0 = time.monotonic()
     work()
     return round(time.monotonic() - t0, 3)
+
+
+def _wait_quiet(max_wait_sec: int = 900, probe_max: float = 0.28,
+                load_max: float = 1.5) -> dict:
+    """Block until the host window looks quiet (single-thread probe and
+    load_1m both under threshold) or max_wait expires — the round-6
+    probe-gated launch discipline: of five ungated ≥4M-turn scaling
+    legs, four drew co-tenant bursts and failed cpu-matching; the one
+    launched through this gate matched on the first try. Endpoint
+    probes cannot veto a burst that arrives MID-run (observed: a leg
+    with clean 0.27/0.25 endpoint probes burned 2.6× calibration), so
+    this gate only raises the odds — the cpu-matching rule still
+    delivers the verdict. Returns what it saw, so the caller can record
+    whether the window was gated or the wait timed out."""
+    t0 = time.monotonic()
+    while True:
+        p = _cpu_speed_probe()
+        load = os.getloadavg()[0]
+        waited = round(time.monotonic() - t0, 1)
+        if (p <= probe_max and load < load_max) or waited >= max_wait_sec:
+            return {
+                "probe_sec": p,
+                "load_1m": round(load, 2),
+                "waited_sec": waited,
+                "gated": bool(p <= probe_max and load < load_max),
+            }
+        time.sleep(30)
 
 
 def _er_calibration(path: str) -> float | None:
@@ -520,13 +550,33 @@ def main() -> None:
             levels = [SCALING_N, SCALING_N * 4, min(SCALING_N * 16, 32)]
         levels = sorted(set(levels))
         runs: dict[str, list] = {f"local{n}": [] for n in levels}
+        quiet_wait = int(os.environ.get("SPARK_GRAFT_SCALING_QUIET_WAIT", "900"))
+
+        def _leg(n: int) -> dict:
+            gate = _wait_quiet(quiet_wait)
+            r = run_er_pipeline_subprocess(f"local[{n}]", n, sp)
+            r["launch_gate"] = gate
+            return r
+
         for _ in range(reps):
             for n in levels:
-                runs[f"local{n}"].append(run_er_pipeline_subprocess(f"local[{n}]", n, sp))
-        best = {
-            n: max(runs[f"local{n}"], key=lambda r: r["turns_per_sec"])
-            for n in levels
-        }
+                runs[f"local{n}"].append(_leg(n))
+        def _best(legs: list) -> dict:
+            # fastest among cpu-matched legs when any exist — a flagged
+            # leg may not enter the headline even if its wall was lucky
+            ok = [r for r in legs if r.get("cpu_matched") is not False]
+            return max(ok or legs, key=lambda r: r["turns_per_sec"])
+
+        # one gated retry per level whose best leg failed cpu-matching
+        # (the round-6 manual methodology, codified): a diluted leg
+        # measures the host window, not the engine, and retrying it is
+        # cheaper than discarding the whole pair. Every attempt stays
+        # in all_runs — best-of with full provenance, not cherry-pick.
+        for n in levels:
+            if _best(runs[f"local{n}"]).get("cpu_matched") is False:
+                runs[f"local{n}"].append(_leg(n))
+
+        best = {n: _best(runs[f"local{n}"]) for n in levels}
         effs = {}
         for lo, hi in zip(levels, levels[1:]):
             ratio = hi / lo
