@@ -141,7 +141,14 @@ def _local_dsu_components(edges: DataFrame) -> DataFrame:
                 f"_local_dsu_components: column {c!r} arrived as "
                 f"{pdf[c].dtype} for Spark type {edges.schema[c].dataType}"
             )
-    for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+    # .tolist(), not .to_numpy(): the loop hashes every endpoint into
+    # the parent dict, and numpy scalar boxing + np.int64.__hash__ make
+    # that ~3× slower than native python ints (measured at 1.05M edges:
+    # 10.7 s → 3.4 s; strings are object-dtype either way). A
+    # numpy-vectorized CC (minimum.at relax + pointer doubling) was
+    # prototyped and measured SLOWER (13.5 s — unbuffered ufunc.at
+    # scatter), so the scalar DSU stays.
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
@@ -160,14 +167,25 @@ def _local_dsu_components(edges: DataFrame) -> DataFrame:
     )
     if out.empty:
         return spark.createDataFrame([], schema)
-    return spark.createDataFrame(out, schema)
+    res = spark.createDataFrame(out, schema)
+    if len(out) > 200_000:
+        # a LocalRelation this size is re-serialized from the driver on
+        # EVERY downstream job — assign_clusters alone runs 3+ jobs over
+        # it (size agg, dense-id collect, stage materialization), ~4.4 s
+        # per rescan at 1M string rows. Distribute once into executor
+        # blocks and cut the lineage; below the gate the relation is
+        # cheap enough that the extra shuffle would be pure overhead.
+        res = res.repartition(
+            spark.sparkContext.defaultParallelism
+        ).localCheckpoint(eager=True)
+    return res
 
 
 def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     on_iteration=None,
-    local_threshold: int = 500_000,
+    local_threshold: int = 2_000_000,
 ) -> CCResult:
     """edges(src, dst) → (node, root) where root = min member of component.
 
@@ -181,10 +199,16 @@ def connected_components(
     over sort-merge: an edge set under ``local_threshold`` is solved by
     a driver-side union-find (one pass, one job) instead of paying
     2 + 2·rounds job barriers of the star loop — at 20k edges the loop
-    is pure fixed overhead (~10 s of scheduling for <1 s of compute).
-    The 500k default bounds the collect at ~100 MB even for long string
-    node ids (ADVICE round 2 flagged 2M × cohort-qualified keys as
-    multi-GB). The distributed loop remains the scale path and is FORCED
+    is pure fixed overhead (~10 s of scheduling for <1 s of compute),
+    and at 1.05M edges the DSU still wins 4-13× (3.4-10.7 s vs 41.6 s:
+    the star loop's per-iteration barriers don't shrink with edge
+    count, which is also why the clusters stage scaled at 0.27 in the
+    round-6 4.3M-turn pair). The 2M default bounds the collect at
+    ~200 MB for string node ids against a 56g driver — the same
+    adaptive-threshold idiom as Spark's autoBroadcastJoinThreshold
+    (ADVICE round 2 flagged 2M × cohort-qualified composite keys as
+    multi-GB; those callers pass a lower threshold or dense int keys).
+    The distributed loop remains the 100 TB scale path and is FORCED
     whenever per-iteration snapshots are requested (``on_iteration``
     set) or ``local_threshold=0``. Both paths produce identical
     (node, root) assignments (root = min member); tests assert parity —
@@ -292,7 +316,10 @@ def cohort_transitive_clusters(seed: DataFrame, max_iter: int = 50) -> DataFrame
         F.concat_ws(_COHORT_SEP, "cohort", "u").alias("src"),
         F.concat_ws(_COHORT_SEP, "cohort", "v").alias("dst"),
     )
-    cc = connected_components(q, max_iter=max_iter)
+    # composite "cohort|node" string keys are several× wider than the
+    # ER pipeline's conv_ids — keep this caller at the old 500k collect
+    # bound rather than the raised 2M default (ADVICE round 2)
+    cc = connected_components(q, max_iter=max_iter, local_threshold=500_000)
     asn = cc.assignments.select(
         F.split_part(F.col("node"), F.lit(_COHORT_SEP), F.lit(1)).alias("cohort"),
         F.split_part(F.col("node"), F.lit(_COHORT_SEP), F.lit(2)).alias("node_id"),
