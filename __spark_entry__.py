@@ -546,6 +546,91 @@ def q_events_retention(spark, sf):
     )
 
 
+def q_events_asof(spark, sf):
+    """As-of join (round 6): every purchase event picks up the most
+    recent click by the same user at-or-before it — the operator Spark
+    lacks as a built-in, in its scalable union+window form
+    (operators/temporal.asof_join: one shuffle on user_id, ZERO joins,
+    single-struct last() so all matched columns come from the same
+    click row; tie on ts broken by greatest event_id, which the DuckDB
+    LATERAL oracle pins). Nullable longs are coalesced to -1 so the
+    value hash never routes through pandas' int→float null widening."""
+    from entity_resolution__spark.operators.temporal import asof_join
+
+    e = _t(spark, sf, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return asof_join(
+        left, right, on=["user_id"], tiebreak="event_id"
+    ).select(
+        "user_id",
+        "purchase_id",
+        us("ts").alias("purchase_us"),
+        F.coalesce(F.col("event_id_matched"), F.lit(-1)).alias("click_id"),
+        F.coalesce(us("ts") - us("ts_matched"), F.lit(-1)).alias("gap_us"),
+        F.coalesce(F.round("value_matched", 4), F.lit(-1.0)).alias("click_value"),
+    )
+
+
+def q_events_window_join(spark, sf):
+    """Range (interval) join (round 6): purchase × click pairs by the
+    same user with the click inside the 6 h window before the purchase
+    (inclusive). operators/temporal.range_join bins time at the window
+    span so the match is an equi-join on (user_id, bin) — no cartesian,
+    no theta-join; integer-micros comparisons keep boundary inclusion
+    bit-exact vs the DuckDB oracle."""
+    from entity_resolution__spark.operators.temporal import range_join
+
+    e = _t(spark, sf, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    return range_join(
+        left, right, on=["user_id"], lower_sec=-21600, upper_sec=0
+    ).select(
+        "user_id",
+        F.col("l_purchase_id").alias("purchase_id"),
+        F.col("r_click_id").alias("click_id"),
+        (
+            F.unix_micros(F.col("l_ts").cast("timestamp"))
+            - F.unix_micros(F.col("r_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+def q_events_rollup(spark, sf):
+    """Hypertable-style hierarchical rollup (round 6): event counts and
+    value sums at (type, day), (type), and grand-total granularities in
+    ONE pass — DataFrame rollup() compiles to a single Expand+partial
+    aggregate, so the 100 TB plan reads the fact table once and
+    map-side-combines all three levels. Rollup nulls are labelled 'ALL'
+    (the raw data is never null there, so the label is unambiguous)."""
+    e = _t(spark, sf, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"), "value"
+    )
+    return (
+        e.rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_chunk_documents(spark, sf):
     """RAG-style overlapping token-window chunking: chunk_tokens=32,
     overlap=8 (stride 24); last chunk short; zero-token docs yield no
@@ -754,6 +839,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_stats": q_ngram_stats,
         "shipping_priority": q_shipping_priority,
         "events_retention": q_events_retention,
+        "events_asof": q_events_asof,
+        "events_window_join": q_events_window_join,
+        "events_rollup": q_events_rollup,
         "chunk_documents": q_chunk_documents,
         "simhash_neardup": q_simhash_neardup,
         "louvain_communities": q_louvain_communities,
@@ -1396,6 +1484,55 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT e.user_id)::BIGINT AS n_users
             FROM e JOIN f USING (user_id)
             GROUP BY 1, 2
+        """,
+        # events_asof (round 6): LATERAL top-1 pins the exact as-of
+        # semantics incl. the (ts DESC, event_id DESC) tie-break the
+        # Spark window encodes via (_t, _side, _tb) ordering
+        "events_asof": r"""
+            WITH p AS (
+              SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS us
+              FROM events WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us, value
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT p.user_id, p.purchase_id, p.us AS purchase_us,
+                   coalesce(m.event_id, -1) AS click_id,
+                   coalesce(p.us - m.us, -1) AS gap_us,
+                   coalesce(round(m.value, 4), -1.0) AS click_value
+            FROM p LEFT JOIN LATERAL (
+              SELECT c.event_id, c.us, c.value FROM c
+              WHERE c.user_id = p.user_id AND c.us <= p.us
+              ORDER BY c.us DESC, c.event_id DESC LIMIT 1
+            ) m ON true
+        """,
+        # events_window_join (round 6): the binned equi-join plan must
+        # emit exactly the inequality-join relation
+        "events_window_join": r"""
+            WITH p AS (
+              SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS us
+              FROM events WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, event_id AS click_id, epoch_us(ts) AS us
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT p.user_id, p.purchase_id, c.click_id,
+                   p.us - c.us AS gap_us
+            FROM p JOIN c ON p.user_id = c.user_id
+             AND c.us >= p.us - 21600000000 AND c.us <= p.us
+        """,
+        # events_rollup (round 6): GROUP BY ROLLUP mirrors DataFrame
+        # rollup(); 'ALL' labels the rollup nulls on both engines
+        "events_rollup": r"""
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, 'ALL') AS day,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+              FROM events
+            )
+            GROUP BY ROLLUP (event_type, day)
         """,
         # chunk_documents (round 5): same stride arithmetic on the
         # DuckDB side — n_chunks = (max(n-32,0) + 23) // 24 + 1 for
