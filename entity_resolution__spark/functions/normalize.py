@@ -85,11 +85,19 @@ def jaccard(a: Column, b: Column) -> Column:
     """Token-set Jaccard with the reference's empty-set conventions
     (/root/reference/src/features/feautre_extraction.py:16-22):
     both empty → 1.0, one empty → 0.0. Pure Catalyst.
+
+    PRECONDITION: a and b are SETS (distinct elements — every caller
+    passes token_set/array_distinct columns). Union size is then
+    |a|+|b|-inter by inclusion-exclusion, which avoids materializing an
+    array_union per row — significant because Catalyst inlines this
+    expression into every use site (filter gates AND projections) with
+    no CSE, so the union array was being built several times per pair
+    in the scoring hot path.
     """
-    inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
     return (
         F.when((F.size(a) == 0) & (F.size(b) == 0), F.lit(1.0))
         .when((F.size(a) == 0) | (F.size(b) == 0), F.lit(0.0))
-        .otherwise(inter.cast("double") / union.cast("double"))
+        .otherwise(inter / union)
     )

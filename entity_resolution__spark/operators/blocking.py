@@ -216,9 +216,11 @@ def blocking_quality_sweep(
     ts = conv.select(F.col("conv_id").alias("src"), F.col("token_set").alias("ts_s"))
     td = conv.select(F.col("conv_id").alias("dst"), F.col("token_set").alias("td_d"))
     j = sym.join(il, "src").join(ir, "dst").join(ts, "src").join(td, "dst")
-    inter_imp = F.size(F.array_intersect("imp_s", "imp_d"))
-    union_imp = F.size(F.array_union("imp_s", "imp_d"))
-    jac = F.when(union_imp > 0, inter_imp.cast("double") / union_imp).otherwise(0.0)
+    # imp_s/imp_d are sets (array_union of distinct arrays is distinct),
+    # so |union| = |imp_s|+|imp_d|-inter — skips a per-pair array build
+    inter_imp = F.size(F.array_intersect("imp_s", "imp_d")).cast("double")
+    union_imp = (F.size("imp_s") + F.size("imp_d")).cast("double") - inter_imp
+    jac = F.when(union_imp > 0, inter_imp / union_imp).otherwise(0.0)
     denom = F.sqrt(F.size("ts_s").cast("double") * F.size("td_d").cast("double"))
     cos = F.when(
         denom > 0,

@@ -149,9 +149,11 @@ def token_overlap_prune_pairs(
     df = df.withColumn("t_l", F.array_except("token_set_l", "sw")).withColumn(
         "t_r", F.array_except("token_set_r", "sw")
     )
-    inter = F.size(F.array_intersect("t_l", "t_r"))
-    union = F.size(F.array_union("t_l", "t_r"))
-    jac = inter.cast("double") / union.cast("double")
+    # t_l/t_r are sets (array_except of distinct token_set), so
+    # |union| = |t_l|+|t_r|-inter — no array_union materialization
+    inter = F.size(F.array_intersect("t_l", "t_r")).cast("double")
+    union = (F.size("t_l") + F.size("t_r")).cast("double") - inter
+    jac = inter / union
     return df.filter(
         (F.size("t_l") > 0) & (F.size("t_r") > 0) & (jac < F.lit(min_jaccard))
     ).select("id_left", "id_right")
