@@ -287,6 +287,45 @@ def q_embedding_neardup(spark, sf):
     )
 
 
+def q_semantic_dedup(spark, sf):
+    """Semantic dedup over embeddings (round 6, SemDeDup-style): sign
+    -bucket LSH near-dup pairs (same config as embedding_neardup) →
+    connected components → keep the min-id representative of each
+    near-dup cluster. Composes the staged operators end-to-end: the
+    output is label-free ((vec_id, rep_id, cluster_size, kept)), so the
+    hash compare pins component STRUCTURE, not an arbitrary labelling.
+    Scale: pairs are capped/salted LSH (no all-pairs), CC is the
+    size-adaptive star-loop/DSU, reps via one groupBy — no driver
+    loops."""
+    from entity_resolution__spark.operators.cluster import connected_components
+    from entity_resolution__spark.operators.similarity import (
+        sign_bucket_neardup_pairs,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    pairs = sign_bucket_neardup_pairs(emb, n_dims=8, threshold=0.25)
+    edges = pairs.select(
+        F.col("id_left").alias("src"), F.col("id_right").alias("dst")
+    )
+    cc = connected_components(edges)
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    full = nodes.join(cc.assignments, "node", "left").withColumn(
+        "rep_id", F.coalesce("root", "node")
+    )
+    sizes = full.groupBy("rep_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return full.join(sizes, "rep_id").select(
+        F.col("node").alias("vec_id"),
+        "rep_id",
+        "cluster_size",
+        F.when(F.col("node") == F.col("rep_id"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("kept"),
+    )
+
+
 def q_ivf_topk(spark, sf):
     """IVF (inverted-file) ANN search — the declared 100 TB scale path
     (scan touches n_probe/n_centroids of the corpus; with the
@@ -821,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "knn_join": q_knn_join,
         "embedding_neardup": q_embedding_neardup,
+        "semantic_dedup": q_semantic_dedup,
         "ivf_topk": q_ivf_topk,
         "pricing_summary": q_pricing_summary,
         "top_revenue": q_top_revenue,
@@ -1162,6 +1202,49 @@ def oracle_sql() -> dict[str, str]:
                      * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))),
                   6) >= 0.25
             ORDER BY 1, 2
+        """,
+        # semantic_dedup (round 6): the embedding_neardup pair relation
+        # as a CTE, transitive closure by recursive CTE (components are
+        # near-dup-sized so the closure stays small), rep = min int id —
+        # label-free output so the hash pins structure, not labels
+        "semantic_dedup": """
+            WITH RECURSIVE b0 AS (
+              SELECT vec_id, embedding,
+                list_aggregate(list_transform(embedding[1:8],
+                  x -> CASE WHEN x > 0 THEN '1' ELSE '0' END),
+                  'string_agg', '') AS bucket
+              FROM embeddings
+            ), b AS (
+              SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz
+                FROM b0
+              ) WHERE bsz <= 4096
+            ), cand AS (
+              SELECT l.vec_id AS id_left, r.vec_id AS id_right
+              FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+              WHERE round(list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[])
+                    / (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[]))
+                       * sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))),
+                    6) >= 0.25
+            ), sym AS (
+              SELECT id_left AS u, id_right AS v FROM cand
+              UNION
+              SELECT id_right AS u, id_left AS v FROM cand
+            ), reach (a, c) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.a, s.v FROM reach r JOIN sym s ON r.c = s.u
+            ), comp AS (
+              SELECT n.vec_id,
+                     least(n.vec_id, coalesce(min(r.c), n.vec_id)) AS rep_id
+              FROM (SELECT vec_id FROM embeddings) n
+              LEFT JOIN reach r ON r.a = n.vec_id
+              GROUP BY n.vec_id
+            )
+            SELECT vec_id, rep_id,
+                   count(*) OVER (PARTITION BY rep_id) AS cluster_size,
+                   (CASE WHEN vec_id = rep_id THEN 1 ELSE 0 END)::INTEGER AS kept
+            FROM comp
         """,
         # full IVF in SQL: same hash-deterministic centroid pick, same
         # round-6 dot-then-divide cosine, same lowest-list-id tie-breaks
