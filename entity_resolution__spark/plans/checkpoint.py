@@ -168,6 +168,92 @@ class StageStore(_StageStoreContract):
             shutil.rmtree(os.path.join(stage_dir, d), ignore_errors=True)
         return out
 
+    def commit_bucketed(
+        self,
+        df: DataFrame,
+        stage: str,
+        fp: str,
+        n_buckets: int,
+        bucket_cols: list[str],
+        sort_cols: list[str] | None = None,
+        lineage: list[str] | None = None,
+    ) -> DataFrame:
+        """Commit a stage snapshot BUCKETED by its downstream join key.
+
+        The big-pipeline lever plain parquet snapshots can't offer: two
+        stages bucketed by the same key with the same bucket count
+        sort-merge-join with NO Exchange on either side — the shuffle is
+        paid once at write time and every downstream consumer (re-join
+        after resume, incremental delta merge, next round's pass over
+        the same key) reads co-located buckets. At 100 TB that converts
+        a per-query full shuffle of the fact table into a one-time cost.
+
+        Spark only persists bucketing through the catalog, so this path
+        writes an EXTERNAL table (data under the store root, metadata in
+        the session catalog). The default in-memory catalog loses table
+        metadata across sessions — on a real deployment the catalog is
+        Hive/Glue/Iceberg and the bucket spec survives; here the
+        manifest records the spec, and a fresh session falls back to
+        read() semantics (plain parquet at the same path, one re-shuffle
+        to recover co-location). Tests pin the no-Exchange plan within
+        a session (tests/test_checkpoint_backends.py).
+        """
+        t0 = time.monotonic()
+        stage_dir = self._dir(stage)
+        snap_id = f"snap-{self.run_id}-{uuid.uuid4().hex[:8]}"
+        data_dir = os.path.join(stage_dir, snap_id)
+        os.makedirs(stage_dir, exist_ok=True)
+        spark = df.sparkSession
+        table = f"er_stage_{stage}_{self.run_id}".replace("-", "_")
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        w = df.write.mode("overwrite").option("path", data_dir).bucketBy(
+            n_buckets, *bucket_cols
+        )
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.saveAsTable(table)
+        out = spark.table(table)
+        manifest = {
+            "stage": stage,
+            "snapshot_id": snap_id,
+            "fingerprint": fp,
+            "run_id": self.run_id,
+            "committed": True,
+            "lineage": lineage or [],
+            "bucket_spec": {
+                "table": table,
+                "n_buckets": n_buckets,
+                "bucket_cols": bucket_cols,
+                "sort_cols": sort_cols or [],
+            },
+            "metrics": {
+                "rows_out": out.count(),
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+            },
+        }
+        tmp = self._manifest_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._manifest_path(stage))
+        return out
+
+    def read_bucketed(self, spark: SparkSession, stage: str) -> DataFrame:
+        """Catalog-backed read of a bucketed snapshot (bucket-aware plan
+        within the committing session / a shared metastore); falls back
+        to the plain parquet files when the catalog no longer knows the
+        table (fresh in-memory catalog after restart)."""
+        m = self.manifest(stage)
+        if not m or "bucket_spec" not in m:
+            return self.read(spark, stage)
+        table = m["bucket_spec"]["table"]
+        if spark.catalog.tableExists(table):
+            return spark.table(table)
+        return spark.read.parquet(
+            os.path.join(self._dir(stage), m["snapshot_id"])
+        )
+
 
 @dataclass
 class IcebergStageStore(_StageStoreContract):
