@@ -137,3 +137,99 @@ def test_range_join_rejects_inverted_window(spark):
                                "k long, lid long, ts timestamp")
     with pytest.raises(ValueError):
         range_join(df, df, on=["k"], lower_sec=10, upper_sec=-10)
+
+
+# ---------------------------------------------------------------------------
+# property tests: random event streams vs brute-force oracles
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_EPOCH = _ts("2024-01-01 00:00:00")
+
+# (key, offset-seconds) streams; duplicate (key, ts) pairs allowed on
+# both sides so tie-break paths get generated
+_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 500)), min_size=0, max_size=25
+)
+
+
+def _brute_asof(left, right, direction, tolerance=None):
+    """Brute-force per-left-row scan: eligible right rows by key +
+    direction (+ tolerance), winner = nearest ts with greatest rid on
+    backward ties / least rid on forward ties."""
+    out = {}
+    for lid, (k, lt) in enumerate(left):
+        cands = []
+        for rid, (rk, rt) in enumerate(right):
+            if rk != k:
+                continue
+            if direction == "backward" and rt <= lt:
+                if tolerance is None or lt - rt <= tolerance:
+                    cands.append((rt, rid))
+            if direction == "forward" and rt >= lt:
+                if tolerance is None or rt - lt <= tolerance:
+                    cands.append((rt, rid))
+        if not cands:
+            out[lid] = None
+        elif direction == "backward":
+            out[lid] = max(cands)[1]  # max ts, then max rid
+        else:
+            out[lid] = min(cands)[1]  # min ts, then min rid
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=_events, right=_events,
+       direction=st.sampled_from(["backward", "forward"]),
+       tolerance=st.sampled_from([None, 60]))
+def test_asof_matches_bruteforce(spark, left, right, direction, tolerance):
+    import datetime as dt
+
+    ldf = spark.createDataFrame(
+        [(k, i, _EPOCH + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)],
+        "k long, lid long, ts timestamp",
+    ) if left else spark.createDataFrame([], "k long, lid long, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(k, i, _EPOCH + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(right)],
+        "k long, rid long, ts timestamp",
+    ) if right else spark.createDataFrame([], "k long, rid long, ts timestamp")
+    got = {
+        r["lid"]: r["rid_matched"]
+        for r in asof_join(
+            ldf, rdf, on=["k"], tiebreak="rid", direction=direction,
+            tolerance_sec=tolerance, right_cols=["rid"],
+        ).collect()
+    }
+    assert got == _brute_asof(left, right, direction, tolerance)
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=_events, right=_events,
+       lo=st.integers(-120, 0), width=st.integers(0, 200))
+def test_range_join_matches_bruteforce(spark, left, right, lo, width):
+    import datetime as dt
+
+    hi = lo + width
+    ldf = spark.createDataFrame(
+        [(k, i, _EPOCH + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)],
+        "k long, lid long, ts timestamp",
+    ) if left else spark.createDataFrame([], "k long, lid long, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(k, i, _EPOCH + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(right)],
+        "k long, rid long, ts timestamp",
+    ) if right else spark.createDataFrame([], "k long, rid long, ts timestamp")
+    got = {
+        (r["l_lid"], r["r_rid"])
+        for r in range_join(
+            ldf, rdf, on=["k"], lower_sec=lo, upper_sec=hi
+        ).collect()
+    }
+    expect = {
+        (li, ri)
+        for li, (lk, lt) in enumerate(left)
+        for ri, (rk, rt) in enumerate(right)
+        if lk == rk and lt + lo <= rt <= lt + hi
+    }
+    assert got == expect
