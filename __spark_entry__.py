@@ -348,18 +348,38 @@ def q_ivf_topk(spark, sf):
     return ivf_topk(corpus, C, list(probe), k=10, n_probe=3)
 
 
+# Money/metric sums aggregate EXACT decimals, not doubles (round 6): the
+# input columns are exact 2-dp values, so the decimal cast is identical
+# in Spark and DuckDB, the sum is order-independent (no float
+# accumulation), and the final round can never straddle a boundary that
+# depends on partition/summation order. A double sum of 600k lineitems
+# at sf0.1 landed on ...28.39995 in one engine and ...28.40005 in the
+# other — correct in both, hash-mismatched after round(,4). On a real
+# cluster summation order varies run to run, so this also makes the
+# aggregates bit-reproducible across partitionings.
+def _dsum2(col, prec: int = 18):
+    return F.sum(F.col(col).cast(f"decimal({prec},2)")).cast("double")
+
+
+def _drevenue():
+    return F.sum(
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    ).cast("double")
+
+
 def q_pricing_summary(spark, sf):
     li = _t(spark, sf, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(_dsum2("l_quantity"), 4).alias("sum_qty"),
+            F.round(_dsum2("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(_drevenue(), 4).alias("sum_disc_price"),
+            F.round(_dsum2("l_discount", 3) / F.count(F.lit(1)), 6).alias(
+                "avg_disc"
+            ),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -374,9 +394,7 @@ def q_top_revenue(spark, sf):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+            F.round(_drevenue(), 4).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -411,7 +429,7 @@ def q_events_hourly(spark, sf):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(_dsum2("value", 14), 4).alias("sum_value"),
         )
     )
 
@@ -440,7 +458,7 @@ def q_event_sessions(spark, sf):
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(_dsum2("value", 14), 4).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -555,11 +573,7 @@ def q_shipping_priority(spark, sf):
             F.col("o_orderdate").cast("string").alias("o_orderdate"),
             "o_orderpriority",
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
+        .agg(F.round(_drevenue(), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -659,7 +673,7 @@ def q_events_rollup(spark, sf):
         e.rollup("event_type", "day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(_dsum2("value", 14), 4).alias("sum_value"),
         )
         .select(
             F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
@@ -1293,10 +1307,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 4) AS sum_qty,
-                   round(sum(l_extendedprice), 4) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   round((sum(l_quantity::DECIMAL(18,2)))::DOUBLE, 4) AS sum_qty,
+                   round((sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE, 4) AS sum_base_price,
+                   round((sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(3,2))))::DOUBLE, 4) AS sum_disc_price,
+                   round((sum(l_discount::DECIMAL(3,2)))::DOUBLE / count(*), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= DATE '1998-09-02'
@@ -1304,7 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_revenue": """
             SELECT c_mktsegment,
-                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   round((sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(3,2))))::DOUBLE, 4) AS revenue,
                    count(DISTINCT o_orderkey) AS n_orders
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -1323,7 +1337,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   round((sum(value::DECIMAL(14,2)))::DOUBLE, 4) AS sum_value
             FROM events
             GROUP BY 1, 2
         """,
@@ -1341,7 +1355,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_seq::BIGINT AS session_seq,
                    min(ts) AS session_start, max(ts) AS session_end,
-                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+                   count(*) AS n_events, round((sum(value::DECIMAL(14,2)))::DOUBLE, 4) AS sum_value
             FROM s GROUP BY 1, 2
         """,
         # cohort transitivity: per-cohort CC is expressible as a recursive
@@ -1542,7 +1556,8 @@ def oracle_sql() -> dict[str, str]:
                    strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S')
                      AS o_orderdate,
                    o.o_orderpriority,
-                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   round((sum(l.l_extendedprice::DECIMAL(18,2)
+                     * (1 - l.l_discount::DECIMAL(3,2))))::DOUBLE, 4)
                      AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1610,7 +1625,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(event_type, 'ALL') AS event_type,
                    coalesce(day, 'ALL') AS day,
                    count(*)::BIGINT AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   round((sum(value::DECIMAL(14,2)))::DOUBLE, 4) AS sum_value
             FROM (
               SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
               FROM events
