@@ -856,6 +856,62 @@ def q_ngram_stats(spark, sf):
     return ngram_stats(_t(spark, sf, "documents"), n=2, k=40)
 
 
+def q_repetition_stats(spark, sf):
+    """Gopher-style per-doc repetition signals: duplicate-token
+    fraction, the most frequent bigram's share of the bigram stream,
+    duplicate-bigram fraction. Explode → (doc, gram) partial agg →
+    doc agg; token stats fused into the scan."""
+    from entity_resolution__spark.operators.scrub import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"), n=2)
+
+
+def q_quality_gate(spark, sf):
+    """RefinedWeb-style rule-cascade filter: length / stopword / punct
+    signals × repetition signals → (keep, reasons-CSV). Reasons are in
+    fixed rule-table order so the string hashes identically."""
+    from entity_resolution__spark.operators.scrub import quality_gate
+
+    return quality_gate(_t(spark, sf, "documents"))
+
+
+def q_contamination(spark, sf):
+    """Benchmark decontamination: the eval split = docs whose md5
+    bucket(doc_id)%100 < 5 (deterministic, engine-portable); every
+    other doc is flagged iff it shares ≥1 distinct word 4-gram with any
+    eval doc. Eval shingle set is broadcast — corpus side never
+    shuffles for the join."""
+    from entity_resolution__spark.operators.scrub import (
+        decontaminate,
+        hash_bucket,
+    )
+
+    docs = _t(spark, sf, "documents")
+    bk = hash_bucket(F.col("doc_id"), 100)
+    return decontaminate(
+        docs.filter(bk >= 5), docs.filter(bk < 5), n=4, min_hits=1
+    )
+
+
+def q_kmv_distinct(spark, sf):
+    """Per-lang distinct-trigram cardinality: exact count next to the
+    KMV bottom-k (k=64) sketch estimate. The sketch is md5-ordered —
+    no RNG, no engine-specific register layout — so the ESTIMATE itself
+    is bit-reproducible and hash-checked against DuckDB running the
+    identical sketch."""
+    from entity_resolution__spark.operators.dedup import ngram_shingles
+    from entity_resolution__spark.operators.scrub import kmv_distinct
+
+    grams = _t(spark, sf, "documents").select(
+        "lang", F.explode(ngram_shingles(F.col("text"), 3)).alias("value")
+    )
+    km = kmv_distinct(grams, value_col="value", group_col="lang", k=64)
+    exact = grams.groupBy("lang").agg(
+        F.countDistinct("value").alias("n_distinct_exact")
+    )
+    return km.join(exact, "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_stats": q_tokenize_stats,
@@ -899,6 +955,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "simhash_neardup": q_simhash_neardup,
         "louvain_communities": q_louvain_communities,
+        "repetition_stats": q_repetition_stats,
+        "quality_gate": q_quality_gate,
+        "contamination": q_contamination,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -1748,5 +1808,150 @@ def oracle_sql() -> dict[str, str]:
             FROM grams GROUP BY g
             ORDER BY n_docs DESC, ngram
             LIMIT 40
+        """,
+        # repetition_stats (round 6): positional (non-distinct) bigram
+        # stream per doc; mode share + duplicate fractions, 6 dp
+        "repetition_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS l FROM documents
+            ), base AS (
+              SELECT doc_id, len(l)::BIGINT AS n_tokens,
+                     round(CASE WHEN len(l) = 0 THEN 0.0
+                       ELSE 1.0 - len(list_distinct(l))::DOUBLE / len(l)
+                     END, 6) AS dup_token_frac
+              FROM toks
+            ), grams AS (
+              SELECT doc_id, g
+              FROM toks,
+                   unnest(list_transform(range(1, len(l) - 2 + 2),
+                          i -> array_to_string(l[i:i+1], ' '))) AS u(g)
+              WHERE len(l) >= 2
+            ), gc AS (
+              SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+            ), ga AS (
+              SELECT doc_id, sum(c) AS total, max(c) AS top,
+                     count(*) AS nd
+              FROM gc GROUP BY 1
+            )
+            SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+                   round(coalesce(ga.top::DOUBLE / ga.total, 0.0), 6)
+                     AS top_ngram_frac,
+                   round(coalesce(1.0 - ga.nd::DOUBLE / ga.total, 0.0), 6)
+                     AS dup_ngram_frac
+            FROM base b LEFT JOIN ga USING (doc_id)
+        """,
+        # quality_gate (round 6): identical signal expressions as
+        # lang_quality/repetition_stats, identical rounded thresholds,
+        # reasons CSV in the same fixed rule order
+        "quality_gate": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS l,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     length(text) AS chars
+              FROM documents
+            ), sig AS (
+              SELECT doc_id, len(l) AS q_tokens,
+                     round(len(list_filter(l, x -> list_contains(
+                       ['the','and','of','to','in','is','that','it','for','was'], x)
+                     ))::DOUBLE / greatest(len(l), 1), 6) AS q_stopword_ratio,
+                     round(n_punct::DOUBLE / greatest(chars, 1), 6) AS q_punct_ratio
+              FROM t
+            ), grams AS (
+              SELECT doc_id, g
+              FROM t,
+                   unnest(list_transform(range(1, len(l) - 2 + 2),
+                          i -> array_to_string(l[i:i+1], ' '))) AS u(g)
+              WHERE len(l) >= 2
+            ), gc AS (
+              SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+            ), ga AS (
+              SELECT doc_id, sum(c) AS total, max(c) AS top, count(*) AS nd
+              FROM gc GROUP BY 1
+            ), rep AS (
+              SELECT s.doc_id, s.q_tokens, s.q_stopword_ratio, s.q_punct_ratio,
+                     round(coalesce(ga.top::DOUBLE / ga.total, 0.0), 6)
+                       AS top_ngram_frac,
+                     round(coalesce(1.0 - ga.nd::DOUBLE / ga.total, 0.0), 6)
+                       AS dup_ngram_frac
+              FROM sig s LEFT JOIN ga USING (doc_id)
+            ), gated AS (
+              SELECT doc_id, concat_ws(',',
+                CASE WHEN q_tokens < 10 THEN 'too_short' END,
+                CASE WHEN q_tokens > 5000 THEN 'too_long' END,
+                CASE WHEN q_stopword_ratio < 0.01 THEN 'low_stopword' END,
+                CASE WHEN q_punct_ratio > 0.30 THEN 'high_punct' END,
+                CASE WHEN top_ngram_frac > 0.10 THEN 'top_ngram_heavy' END,
+                CASE WHEN dup_ngram_frac > 0.09 THEN 'dup_ngram_heavy' END
+              ) AS reasons FROM rep
+            )
+            SELECT doc_id, reasons = '' AS keep, reasons FROM gated
+        """,
+        # contamination (round 6): eval split by the same md5 bucket as
+        # hash_sample; distinct word 4-grams; ≥1 shared shingle flags
+        "contamination": f"""
+            WITH b AS (
+              SELECT doc_id, {_TOKS} AS l,
+                     (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      )::BIGINT % 100) AS bk
+              FROM documents
+            ), ev AS (
+              SELECT DISTINCT g
+              FROM b,
+                   unnest(list_transform(range(1, len(l) - 4 + 2),
+                          i -> array_to_string(l[i:i+3], ' '))) AS u(g)
+              WHERE bk < 5 AND len(l) >= 4
+            ), cg AS (
+              SELECT DISTINCT doc_id, g
+              FROM b,
+                   unnest(list_transform(range(1, len(l) - 4 + 2),
+                          i -> array_to_string(l[i:i+3], ' '))) AS u(g)
+              WHERE bk >= 5 AND len(l) >= 4
+            ), hits AS (
+              SELECT doc_id, count(*) AS n FROM cg JOIN ev USING (g)
+              GROUP BY 1
+            )
+            SELECT c.doc_id,
+                   coalesce(h.n, 0)::BIGINT AS n_eval_ngrams,
+                   coalesce(h.n, 0) >= 1 AS contaminated
+            FROM (SELECT doc_id FROM b WHERE bk >= 5) c
+            LEFT JOIN hits h USING (doc_id)
+        """,
+        # kmv_distinct (round 6): the sketch itself is deterministic
+        # (bottom-64 md5 hashes of the distinct per-lang trigram sets),
+        # so DuckDB replays the ESTIMATE bit-exactly, not just the
+        # exact count. 1152921504606846976 = 16^15 (the 15-hex-digit
+        # coordinate scale).
+        "kmv_distinct": f"""
+            WITH toks AS (
+              SELECT doc_id, lang, {_TOKS} AS l FROM documents
+            ), grams AS (
+              SELECT DISTINCT lang, g
+              FROM toks,
+                   unnest(list_transform(range(1, len(l) - 3 + 2),
+                          i -> array_to_string(l[i:i+2], ' '))) AS u(g)
+              WHERE len(l) >= 3
+            ), h AS (
+              SELECT lang, md5(g) AS h FROM grams
+            ), rk AS (
+              SELECT lang, h,
+                     row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+              FROM h
+            ), bot AS (
+              SELECT lang, count(*)::BIGINT AS k_used, max(h) AS kth
+              FROM rk WHERE rn <= 64 GROUP BY lang
+            ), est AS (
+              SELECT lang, k_used,
+                     ('0x' || substr(kth, 1, 15))::BIGINT::DOUBLE
+                       / 1152921504606846976.0 AS frac
+              FROM bot
+            ), ex AS (
+              SELECT lang, count(*)::BIGINT AS n_distinct_exact
+              FROM grams GROUP BY lang
+            )
+            SELECT e.lang, e.k_used, round(e.frac, 9) AS kmv_frac,
+                   round(CASE WHEN e.k_used < 64 THEN e.k_used::DOUBLE
+                              ELSE 63.0 / e.frac END, 6) AS n_distinct_est,
+                   ex.n_distinct_exact
+            FROM est e JOIN ex USING (lang)
         """,
     }

@@ -214,8 +214,10 @@ def simhash_hex(tokens: Column) -> Column:
     return F.lower(F.lpad(F.hex(_simhash64_kernel(tokens)), 16, "0"))
 
 
-def ngram_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set of the normalized token stream.
+def ngram_sequence(text: Column, n: int = 3) -> Column:
+    """POSITIONAL word n-gram list of the normalized token stream —
+    duplicates preserved in document order (the form repetition metrics
+    need; `ngram_shingles` is the distinct-set view of the same list).
 
     Built as zip_with over n shifted slices — NOT a transform whose
     lambda indexes back into the token array: expressions captured
@@ -231,7 +233,13 @@ def ngram_shingles(text: Column, n: int = 3) -> Column:
         acc = F.zip_with(
             acc, F.slice(toks, i + 1, ln), lambda a, b: F.concat_ws(" ", a, b)
         )
-    return F.array_distinct(acc)
+    return acc
+
+
+def ngram_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle SET of the normalized token stream (distinct
+    view of `ngram_sequence`; see there for the zip_with rationale)."""
+    return F.array_distinct(ngram_sequence(text, n))
 
 
 def ngram_jaccard_pairs(

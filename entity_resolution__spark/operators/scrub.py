@@ -161,3 +161,245 @@ def ngram_stats(
         .orderBy(F.col("n_docs").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition signals in the spirit of Gopher's
+    repetition filters (Rae et al. 2021 §A1.1 / RefinedWeb): fraction of
+    duplicate tokens, fraction of the n-gram stream occupied by the
+    single most frequent n-gram, and fraction of duplicate n-grams.
+    Spam/loop-generated documents score high on all three; these feed
+    `quality_gate`.
+
+    Output: (id, n_tokens, dup_token_frac, top_ngram_frac,
+    dup_ngram_frac) — fractions rounded to 6 dp (engine-portable), 0.0
+    for documents too short to have any n-gram.
+
+    Scale: token stats are a narrow map fused into the scan. The n-gram
+    mode requires a per-(doc, gram) count — explode → two-level partial
+    aggregation keyed (doc_id, gram) then doc_id, re-joined to the token
+    stats co-partitioned on doc_id. No driver state, no UDF; skew-free
+    (doc_id is in every shuffle key).
+    """
+    from entity_resolution__spark.operators.dedup import ngram_sequence
+    from entity_resolution__spark.operators.textstats import tokens_col
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    base = df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n_tok == 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct(toks)).cast("double") / n_tok
+            ),
+            6,
+        ).alias("dup_token_frac"),
+    )
+    per_gram = (
+        df.select(F.col(id_col), F.explode(ngram_sequence(text, n)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("top"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        "dup_token_frac",
+        F.round(
+            F.coalesce(F.col("top").cast("double") / F.col("total"), F.lit(0.0)), 6
+        ).alias("top_ngram_frac"),
+        F.round(
+            F.coalesce(
+                1.0 - F.col("n_distinct").cast("double") / F.col("total"), F.lit(0.0)
+            ),
+            6,
+        ).alias("dup_ngram_frac"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination pass: flag corpus documents sharing at
+    least `min_hits` distinct word n-grams with any document in an
+    evaluation set (the standard n-gram-overlap contamination rule used
+    for LLM training corpora; 13-grams in GPT-3/PaLM — `n` is a
+    parameter here because the synthetic docs are short).
+
+    Output: (id, n_eval_ngrams, contaminated) for EVERY corpus doc —
+    n_eval_ngrams = how many of the doc's distinct n-grams appear
+    anywhere in the eval set.
+
+    Scale: the eval side (benchmark suites, thousands of docs) is tiny
+    next to a 100 TB corpus — its distinct shingle set is broadcast, so
+    the corpus-side explode joins map-side with NO shuffle of the
+    corpus; the only wide op is the per-doc count, keyed doc_id. Set
+    `broadcast_eval=False` if the eval set ever outgrows the driver; the
+    same plan then shuffles both sides on the shingle key.
+    """
+    from entity_resolution__spark.operators.dedup import ngram_shingles
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    eval_grams = (
+        eval_df.select(F.explode(ngram_shingles(text, n)).alias("g")).distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    hits = (
+        corpus.select(F.col(id_col), F.explode(ngram_shingles(text, n)).alias("g"))
+        .join(eval_grams, "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_eval_ngrams"))
+    )
+    return corpus.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_eval_ngrams"), F.lit(0)).alias("n_eval_ngrams"),
+        (F.coalesce(F.col("n_eval_ngrams"), F.lit(0)) >= min_hits).alias(
+            "contaminated"
+        ),
+    )
+
+
+# quality_gate rule table: (name, fail-predicate builder over the joined
+# quality_features × repetition_stats row). Names are emitted in this
+# fixed order so the reasons CSV is deterministic.
+QUALITY_RULES: list[tuple[str, "object"]] = [
+    ("too_short", lambda: F.col("q_tokens") < F.lit(10)),
+    ("too_long", lambda: F.col("q_tokens") > F.lit(5000)),
+    ("low_stopword", lambda: F.col("q_stopword_ratio") < F.lit(0.01)),
+    ("high_punct", lambda: F.col("q_punct_ratio") > F.lit(0.30)),
+    ("top_ngram_heavy", lambda: F.col("top_ngram_frac") > F.lit(0.10)),
+    ("dup_ngram_heavy", lambda: F.col("dup_ngram_frac") > F.lit(0.09)),
+]
+
+
+def quality_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 2,
+) -> DataFrame:
+    """RefinedWeb/Gopher-style rule-cascade document filter: evaluate
+    every rule in `QUALITY_RULES` over the length/stopword/punctuation
+    signals (`quality_features`) joined with the repetition signals
+    (`repetition_stats`), and report per doc which rules failed.
+
+    Output: (id, keep, reasons) — `reasons` is a comma-joined string of
+    failed rule names in table order ('' when keep=true). A string, not
+    an array, so the result hashes identically through any SQL oracle.
+
+    Scale: quality_features is a narrow map; the only wide ops come from
+    repetition_stats (doc_id-keyed). The rule cascade itself is a pure
+    projection — at 100 TB the gate fuses into the scan + one
+    aggregation pass, and `keep` lands in parquet min/max stats so
+    downstream scans prune dropped docs for free.
+    """
+    from entity_resolution__spark.operators.textstats import quality_features
+
+    q = quality_features(
+        df.select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)),
+        text_col=text_col,
+    ).select(id_col, "q_tokens", "q_stopword_ratio", "q_punct_ratio")
+    rep = repetition_stats(df, n=ngram_n, id_col=id_col, text_col=text_col).select(
+        id_col, "top_ngram_frac", "dup_ngram_frac"
+    )
+    joined = q.join(rep, id_col)
+    reasons = F.concat_ws(
+        ",",
+        *[
+            F.when(pred(), F.lit(name)).otherwise(F.lit(None))
+            for name, pred in QUALITY_RULES
+        ],
+    )
+    return joined.select(
+        F.col(id_col),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+# 16^15 — the KMV hash coordinate is the first 15 hex digits of md5,
+# an exact integer < 2^60 on both engines; dividing by this constant
+# maps it into [0, 1). 15 digits (not 16) so the integer stays well
+# inside BIGINT range for DuckDB's ('0x…')::BIGINT parse.
+_KMV_SCALE = float(16**15)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str | None = None,
+    k: int = 64,
+    n_salts: int = 64,
+) -> DataFrame:
+    """KMV / bottom-k distinct-count sketch (Bar-Yossef et al. 2002):
+    keep the k smallest md5 hashes of the distinct values; estimate
+    |distinct| = (k−1)/h_(k) where h_(k) is the k-th smallest hash
+    mapped into [0,1). Deterministic — md5, no RNG — so the estimate is
+    bit-reproducible on any engine / partitioning / retry, unlike
+    HLL-based approx_count_distinct whose register layout is
+    engine-specific.
+
+    Output: one row per group: (group?, k_used, kmv_frac, n_distinct_est)
+    — when the group has fewer than k distinct values the sketch IS the
+    value set and the estimate is exact (= k_used).
+
+    Scale: bottom-k is an algebraic (mergeable) aggregate. Phase 1
+    computes a per-(group, salt) bottom-k with collect_list state
+    bounded by distinct/n_salts; phase 2 merges the ≤ k·n_salts
+    survivors per group. No window over a whole group's hash stream, no
+    driver state; raise n_salts with the data so phase-1 state stays
+    executor-sized.
+    """
+    groups = [group_col] if group_col else []
+    h = F.lower(F.md5(F.col(value_col).cast("string")))
+    distinct_h = df.select(*groups, h.alias("h")).distinct()
+    bottom_k = F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs")
+    phase1 = (
+        distinct_h.groupBy(
+            *groups,
+            (
+                F.conv(F.substring("h", 25, 4), 16, 10).cast("long") % n_salts
+            ).alias("_salt"),
+        )
+        .agg(bottom_k)
+        .select(*groups, F.explode("hs").alias("h"))
+    )
+    merged = phase1.groupBy(*groups).agg(bottom_k)
+    kth = F.element_at("hs", F.size("hs"))
+    # string → long → double, NOT string → double: DuckDB's oracle path
+    # is ('0x'||hex)::BIGINT::DOUBLE, and long→double rounding is the
+    # IEEE step both engines share for the 60-bit integer.
+    frac = (
+        F.conv(F.substring(kth, 1, 15), 16, 10).cast("long").cast("double")
+        / F.lit(_KMV_SCALE)
+    )
+    k_used = F.size("hs")
+    return merged.select(
+        *groups,
+        k_used.cast("long").alias("k_used"),
+        F.round(frac, 9).alias("kmv_frac"),
+        F.round(
+            F.when(k_used < k, k_used.cast("double")).otherwise(
+                F.lit(float(k - 1)) / frac
+            ),
+            6,
+        ).alias("n_distinct_est"),
+    )

@@ -170,3 +170,154 @@ def test_round5_ops_empty_input_probes(spark):
         [], "conv_id string, cluster_id long, cluster_size int"
     )
     assert incremental_clusters(empty_prior, no_delta).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round 6: repetition / quality gate / decontamination / KMV sketch
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_truth_table(spark):
+    from entity_resolution__spark.operators.scrub import repetition_stats
+
+    rows = [
+        # 'a b a b a b' → tokens 6, distinct 2, bigrams [ab,ba,ab,ba,ab]
+        # → total 5, top 'a b' ×3, distinct 2
+        (1, "a b a b a b", "en"),
+        # all-unique tokens: no dup anything
+        (2, "one two three four", "en"),
+        # single token: no bigram at all → fractions 0
+        (3, "solo", "en"),
+        # empty → everything 0
+        (4, "", "en"),
+        # null text treated as empty
+        (5, None, "en"),
+    ]
+    out = {r["doc_id"]: r for r in repetition_stats(_docs(spark, rows)).collect()}
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["dup_token_frac"] == round(1 - 2 / 6, 6)
+    assert out[1]["top_ngram_frac"] == 0.6  # 3/5
+    assert out[1]["dup_ngram_frac"] == 0.6  # 1 - 2/5
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_ngram_frac"] == round(1 / 3, 6)  # each bigram once
+    assert out[2]["dup_ngram_frac"] == 0.0
+    for d in (3, 4, 5):
+        assert out[d]["top_ngram_frac"] == 0.0
+        assert out[d]["dup_ngram_frac"] == 0.0
+    assert out[4]["n_tokens"] == 0 and out[5]["n_tokens"] == 0
+
+
+def test_quality_gate_reasons_order_and_keep(spark):
+    from entity_resolution__spark.operators.scrub import quality_gate
+
+    rows = [
+        # long enough, has stopwords, clean → keep
+        (1, "the cat sat on the mat and it was fine for the day is that", "en"),
+        # too short AND no stopwords (and its single bigram is 100% of
+        # the bigram stream) → three reasons, table order
+        (2, "tiny doc", "en"),
+        # heavy repetition of one bigram, with stopwords mixed in to
+        # isolate the repetition rules
+        (3, "the was " * 40 + "of it in is that for to and", "en"),
+    ]
+    out = {r["doc_id"]: r for r in quality_gate(_docs(spark, rows)).collect()}
+    assert out[1]["keep"] is True and out[1]["reasons"] == ""
+    assert out[2]["keep"] is False
+    assert out[2]["reasons"] == "too_short,low_stopword,top_ngram_heavy"
+    assert out[3]["keep"] is False
+    assert "top_ngram_heavy" in out[3]["reasons"]
+    # reasons always follow QUALITY_RULES table order
+    from entity_resolution__spark.operators.scrub import QUALITY_RULES
+
+    order = [n for n, _ in QUALITY_RULES]
+    for r in out.values():
+        names = [x for x in r["reasons"].split(",") if x]
+        assert names == sorted(names, key=order.index)
+
+
+def test_decontaminate_vs_bruteforce(spark):
+    from entity_resolution__spark.operators.scrub import decontaminate
+
+    eval_rows = [(100, "alpha beta gamma delta epsilon", "en")]
+    corpus_rows = [
+        # shares 'alpha beta gamma' (and 'beta gamma delta') → 2 hits
+        (1, "x alpha beta gamma delta y", "en"),
+        # shares words but no full trigram → clean
+        (2, "alpha gamma beta delta epsilon zeta", "en"),
+        # exact copy → all 3 eval trigrams hit
+        (3, "alpha beta gamma delta epsilon", "en"),
+        # too short for a trigram
+        (4, "alpha beta", "en"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(
+            _docs(spark, corpus_rows), _docs(spark, eval_rows), n=3
+        ).collect()
+    }
+    assert out[1]["n_eval_ngrams"] == 2 and out[1]["contaminated"] is True
+    assert out[2]["n_eval_ngrams"] == 0 and out[2]["contaminated"] is False
+    assert out[3]["n_eval_ngrams"] == 3 and out[3]["contaminated"] is True
+    assert out[4]["n_eval_ngrams"] == 0 and out[4]["contaminated"] is False
+    # min_hits raises the bar
+    out2 = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(
+            _docs(spark, corpus_rows), _docs(spark, eval_rows), n=3, min_hits=3
+        ).collect()
+    }
+    assert out2 == {1: False, 2: False, 3: True, 4: False}
+
+
+def test_kmv_distinct_small_sets_exact(spark):
+    """Fewer than k distinct values → the sketch IS the set: estimate
+    exact, k_used = |distinct|."""
+    from entity_resolution__spark.operators.scrub import kmv_distinct
+
+    df = spark.createDataFrame(
+        [(g, f"v{i % 7}") for g in ("a", "b") for i in range(50)],
+        "grp string, value string",
+    )
+    out = {r["grp"]: r for r in kmv_distinct(df, "value", "grp", k=64).collect()}
+    for g in ("a", "b"):
+        assert out[g]["k_used"] == 7
+        assert out[g]["n_distinct_est"] == 7.0
+
+
+def test_kmv_distinct_estimate_accuracy_and_determinism(spark):
+    """KMV with k=256 over 10k distinct ints: relative error well inside
+    the 3/√k ≈ 19% envelope, and bit-identical across reruns and
+    partitionings (md5 order, no RNG)."""
+    from entity_resolution__spark.operators.scrub import kmv_distinct
+
+    df = spark.range(10_000).select(F.col("id").cast("string").alias("value"))
+    est1 = kmv_distinct(df, "value", None, k=256).collect()[0]
+    est2 = kmv_distinct(df.repartition(13), "value", None, k=256).collect()[0]
+    assert est1["n_distinct_est"] == est2["n_distinct_est"]
+    assert est1["kmv_frac"] == est2["kmv_frac"]
+    rel_err = abs(est1["n_distinct_est"] - 10_000) / 10_000
+    assert rel_err < 0.19, rel_err
+    # duplicates must not move the sketch: distinct-by-hash up front
+    est3 = kmv_distinct(
+        df.union(df).union(df), "value", None, k=256
+    ).collect()[0]
+    assert est3["n_distinct_est"] == est1["n_distinct_est"]
+
+
+def test_kmv_distinct_salt_phase_merges_correctly(spark):
+    """The two-phase (salted partial bottom-k → merge) result equals the
+    direct global bottom-k: compute the expected kth hash in python."""
+    import hashlib
+
+    from entity_resolution__spark.operators.scrub import kmv_distinct
+
+    vals = [f"tok{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "value string")
+    k = 16
+    hashes = sorted(hashlib.md5(v.encode()).hexdigest() for v in vals)
+    kth = hashes[k - 1]
+    frac = int(kth[:15], 16) / float(16**15)
+    expected = round((k - 1) / frac, 6)
+    got = kmv_distinct(df, "value", None, k=k, n_salts=8).collect()[0]
+    assert got["k_used"] == k
+    assert got["n_distinct_est"] == expected
