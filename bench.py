@@ -51,6 +51,11 @@ HEADLINE = [
     "simhash",
     "cc_clusters",
     "cohort_clusters",
+    # round-6 corpus-hygiene family (repetition/quality/contamination
+    # are the per-doc + broadcast-join shapes; kmv is the sketch path)
+    "quality_gate",
+    "contamination",
+    "kmv_distinct",
 ]
 
 BENCH_ENTITIES = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITIES", "6000"))

@@ -186,7 +186,6 @@ def repetition_stats(
     stats co-partitioned on doc_id. No driver state, no UDF; skew-free
     (doc_id is in every shuffle key).
     """
-    from entity_resolution__spark.operators.dedup import ngram_sequence
     from entity_resolution__spark.operators.textstats import tokens_col
 
     text = F.coalesce(F.col(text_col), F.lit(""))
@@ -202,30 +201,51 @@ def repetition_stats(
             6,
         ).alias("dup_token_frac"),
     )
+    return base.join(_ngram_mode_agg(df, n, id_col, text_col), id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        "dup_token_frac",
+        *_mode_frac_cols(),
+    )
+
+
+def _ngram_mode_agg(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-doc n-gram mode aggregate (total count, max count, distinct
+    count) over the positional n-gram stream — the shuffle-side half of
+    `repetition_stats`, shared with `quality_gate` so the gate pays the
+    explode pass once."""
+    from entity_resolution__spark.operators.dedup import ngram_sequence
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
     per_gram = (
         df.select(F.col(id_col), F.explode(ngram_sequence(text, n)).alias("g"))
         .groupBy(id_col, "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    per_doc = per_gram.groupBy(id_col).agg(
+    return per_gram.groupBy(id_col).agg(
         F.sum("c").alias("total"),
         F.max("c").alias("top"),
         F.count(F.lit(1)).alias("n_distinct"),
     )
-    return base.join(per_doc, id_col, "left").select(
-        F.col(id_col),
-        "n_tokens",
-        "dup_token_frac",
+
+
+def _mode_frac_cols() -> list[Column]:
+    """top_ngram_frac / dup_ngram_frac projections over a frame
+    left-joined with `_ngram_mode_agg` (null → 0.0, 6 dp)."""
+    return [
         F.round(
             F.coalesce(F.col("top").cast("double") / F.col("total"), F.lit(0.0)), 6
         ).alias("top_ngram_frac"),
         F.round(
             F.coalesce(
-                1.0 - F.col("n_distinct").cast("double") / F.col("total"), F.lit(0.0)
+                1.0 - F.col("n_distinct").cast("double") / F.col("total"),
+                F.lit(0.0),
             ),
             6,
         ).alias("dup_ngram_frac"),
-    )
+    ]
 
 
 def decontaminate(
@@ -305,11 +325,12 @@ def quality_gate(
     failed rule names in table order ('' when keep=true). A string, not
     an array, so the result hashes identically through any SQL oracle.
 
-    Scale: quality_features is a narrow map; the only wide ops come from
-    repetition_stats (doc_id-keyed). The rule cascade itself is a pure
-    projection — at 100 TB the gate fuses into the scan + one
-    aggregation pass, and `keep` lands in parquet min/max stats so
-    downstream scans prune dropped docs for free.
+    Scale: quality_features is a narrow map fused into ONE scan-side
+    projection; the only wide op is the shared n-gram mode aggregate
+    (`_ngram_mode_agg`, doc_id-keyed), joined back once. The rule
+    cascade itself is a pure projection — at 100 TB the gate is one
+    narrow scan + one aggregation pass, and `keep` lands in parquet
+    min/max stats so downstream scans prune dropped docs for free.
     """
     from entity_resolution__spark.operators.textstats import quality_features
 
@@ -317,10 +338,10 @@ def quality_gate(
         df.select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)),
         text_col=text_col,
     ).select(id_col, "q_tokens", "q_stopword_ratio", "q_punct_ratio")
-    rep = repetition_stats(df, n=ngram_n, id_col=id_col, text_col=text_col).select(
-        id_col, "top_ngram_frac", "dup_ngram_frac"
+    ga = _ngram_mode_agg(df, ngram_n, id_col, text_col)
+    joined = q.join(ga, id_col, "left").select(
+        id_col, "q_tokens", "q_stopword_ratio", "q_punct_ratio", *_mode_frac_cols()
     )
-    joined = q.join(rep, id_col)
     reasons = F.concat_ws(
         ",",
         *[
