@@ -403,7 +403,10 @@ def kmv_distinct(
         .agg(bottom_k)
         .select(*groups, F.explode("hs").alias("h"))
     )
-    merged = phase1.groupBy(*groups).agg(bottom_k)
+    # the global (ungrouped) aggregate emits one row even over empty
+    # input — a (k_used=0, null, null) sketch; drop it (grouped mode
+    # never produces empty groups)
+    merged = phase1.groupBy(*groups).agg(bottom_k).filter(F.size("hs") > 0)
     kth = F.element_at("hs", F.size("hs"))
     # string → long → double, NOT string → double: DuckDB's oracle path
     # is ('0x'||hex)::BIGINT::DOUBLE, and long→double rounding is the

@@ -321,3 +321,26 @@ def test_kmv_distinct_salt_phase_merges_correctly(spark):
     got = kmv_distinct(df, "value", None, k=k, n_salts=8).collect()[0]
     assert got["k_used"] == k
     assert got["n_distinct_est"] == expected
+
+
+def test_round6_hygiene_empty_inputs(spark):
+    """Empty-input probes (house rule: every operator family gets one):
+    no crashes, sane empty/zero outputs."""
+    from entity_resolution__spark.operators.scrub import (
+        decontaminate,
+        kmv_distinct,
+        quality_gate,
+        repetition_stats,
+    )
+
+    empty = _docs(spark, []).select("doc_id", "text", "lang")
+    assert repetition_stats(empty).count() == 0
+    assert quality_gate(empty).count() == 0
+    # empty corpus × non-empty eval and vice versa
+    ev = _docs(spark, [(1, "alpha beta gamma delta", "en")])
+    assert decontaminate(empty, ev).count() == 0
+    out = decontaminate(ev, empty).collect()
+    assert len(out) == 1 and out[0]["contaminated"] is False
+    df = spark.createDataFrame([], "grp string, value string")
+    assert kmv_distinct(df, "value", "grp").count() == 0
+    assert kmv_distinct(df, "value", None).count() == 0
