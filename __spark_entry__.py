@@ -912,6 +912,106 @@ def q_kmv_distinct(spark, sf):
     return km.join(exact, "lang")
 
 
+def q_event_funnel(spark, sf):
+    """Ordered 3-step funnel view → click → purchase (round 6), first-
+    touch strictly-after semantics (operators/funnel.py), scoped to the
+    stream's first two days — the short window is what differentiates
+    depth (92/41/21 users at sf0.01; over the full month every user
+    completes everything and the funnel is vacuous). Every groupBy/join
+    keys on user_id — k co-partitioned exchanges at 100 TB; per-user
+    state is one timestamp per step regardless of event count."""
+    from entity_resolution__spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf, "events").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def q_weighted_sample(spark, sf):
+    """Sequential Poisson (PPS) sampling (round 6): the 20 docs per
+    lang with the smallest priority xi = md5-uniform(doc_id) / n_chars
+    — deterministic weighted corpus subsampling (Ohlsson 1998). xi is
+    one exact division of an md5-derived dyadic rational, so DuckDB
+    reproduces the doubles bit-for-bit; rank ties break on doc_id."""
+    from entity_resolution__spark.operators.scrub import (
+        sequential_poisson_sample,
+    )
+
+    out = sequential_poisson_sample(
+        _t(spark, sf, "documents"), k=20, weight_col="n_chars",
+        group_col="lang",
+    )
+    return out.select("doc_id", "lang", "n_chars", "xi")
+
+
+def q_length_quantiles(spark, sf):
+    """EXACT per-lang length quantiles (round 6): type-1 empirical
+    quantile at ranks ceil(p·n) for p in {.25,.5,.75,.9,.99} — the
+    corpus-QA numbers that must mean the same thing on every engine,
+    vs approx_percentile's merge-order-dependent t-digest. One window
+    sort per lang + a broadcast probs dim (operators/textstats.py)."""
+    from entity_resolution__spark.operators.textstats import group_quantiles
+
+    return group_quantiles(_t(spark, sf, "documents"), "n_chars", "lang")
+
+
+def q_substring_neardup(spark, sf):
+    """EXACT shared-substring duplication pairs (round 6): doc pairs
+    sharing ≥1 verbatim 8-token window, with the distinct-window count
+    as span evidence — the token-granular exact-substring dedup of Lee
+    et al. 2022 that document-level MinHash misses. 100%-recall
+    inverted index: explode md5'd windows → the shared capped/salted
+    self-join (saltjoin.py) → one pair-keyed count; stopword-grade
+    windows (bucket > 4096) dropped on BOTH engines."""
+    from entity_resolution__spark.operators.dedup import shared_window_pairs
+
+    return shared_window_pairs(_t(spark, sf, "documents"), window=8)
+
+
+def q_graph_pagerank(spark, sf):
+    """Weighted PageRank (round 6) over the blocked token-jaccard
+    similarity graph (positive-weight edges of pair_token_jaccard,
+    symmetrized): 5 fixed power iterations at d=0.85 from the uniform
+    vector — fixed so the result is a deterministic graph function the
+    oracle replays by unrolling the same 5 iterations in SQL. Per
+    iteration: ONE join that shuffles only the rank vector (the share
+    table is staged+partitioned by src) + ONE partial-agg groupBy —
+    the 2-exchange Pregel loop in Catalyst (operators/graph_algos.py)."""
+    from entity_resolution__spark.operators.graph_algos import (
+        pagerank,
+        symmetrize,
+    )
+
+    edges = (
+        q_pair_token_jaccard(spark, sf)
+        .filter(F.col("token_jaccard") > 0)
+        .select(
+            F.col("id_left").alias("src"),
+            F.col("id_right").alias("dst"),
+            F.col("token_jaccard").alias("weight"),
+        )
+    )
+    pr = pagerank(symmetrize(edges), damping=0.85, iterations=5)
+    return pr.select("node", F.round("rank", 6).alias("pr6"))
+
+
+def q_graph_triangles(spark, sf):
+    """Per-node triangle counts (round 6) over the candidate-pair
+    blocking graph — "how clique-like is this block" as a first-class
+    graph metric. Degree-ordered edge orientation (Latapy 2008 compact-
+    forward): each triangle materializes exactly once and the wedge
+    join's fan-out is O(sqrt(m))-bounded, which is what keeps the self-
+    join feasible on power-law block graphs at 100 TB
+    (operators/graph_algos.py)."""
+    from entity_resolution__spark.operators.graph_algos import triangle_count
+
+    edges = q_candidate_pairs(spark, sf).select(
+        F.col("id_left").alias("src"), F.col("id_right").alias("dst")
+    )
+    return triangle_count(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_stats": q_tokenize_stats,
@@ -959,6 +1059,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": q_quality_gate,
         "contamination": q_contamination,
         "kmv_distinct": q_kmv_distinct,
+        "event_funnel": q_event_funnel,
+        "weighted_sample": q_weighted_sample,
+        "length_quantiles": q_length_quantiles,
+        "substring_neardup": q_substring_neardup,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
     }
 
 
@@ -1090,6 +1196,49 @@ def _shingle_edges_cte(threshold: float = 0.2, n: int = 3) -> str:
 
 def oracle_sql() -> dict[str, str]:
     shingle_cte = _shingle_edges_cte(threshold=0.2, n=3)
+    # graph_pagerank: 5 power iterations unrolled as chained CTEs —
+    # same update rule as operators/graph_algos.pagerank (symmetric
+    # graph ⇒ no dangling mass term); weights are the round-6 jaccards
+    # so both engines iterate from identical doubles
+    _pr_iters, _pr_damp = 5, 0.85
+    _pr_parts = [
+        f"""pd AS (SELECT doc_id, {_TOKS}[1] AS bk,
+                          list_sort(list_distinct({_TOKS})) AS ts
+                   FROM documents WHERE len({_TOKS}) > 0),
+            pedges AS (
+              SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right,
+                     round(CASE
+                       WHEN len(l.ts)=0 AND len(r.ts)=0 THEN 1.0
+                       WHEN len(l.ts)=0 OR len(r.ts)=0 THEN 0.0
+                       ELSE len(list_intersect(l.ts, r.ts))::DOUBLE
+                            / len(list_distinct(list_concat(l.ts, r.ts)))::DOUBLE
+                     END, 6) AS jaccard
+              FROM pd l JOIN pd r ON l.bk = r.bk AND l.doc_id < r.doc_id),
+            sym AS (
+              SELECT id_left AS src, id_right AS dst, jaccard AS w
+              FROM pedges WHERE jaccard > 0
+              UNION ALL
+              SELECT id_right AS src, id_left AS dst, jaccard AS w
+              FROM pedges WHERE jaccard > 0),
+            pnodes AS (SELECT DISTINCT src AS node FROM sym),
+            pn AS (SELECT count(*)::DOUBLE AS n FROM pnodes),
+            outw AS (SELECT src, sum(w) AS ow FROM sym GROUP BY 1),
+            shares AS (SELECT s.src, s.dst, s.w / o.ow AS share
+                       FROM sym s JOIN outw o USING (src)),
+            pr0 AS (SELECT node, 1.0 / (SELECT n FROM pn) AS r FROM pnodes)"""
+    ]
+    for _i in range(1, _pr_iters + 1):
+        _pr_parts.append(
+            f"""pr{_i} AS (
+              SELECT nd.node,
+                     (1.0 - {_pr_damp}) / (SELECT n FROM pn)
+                     + {_pr_damp} * coalesce(inf.x, 0.0) AS r
+              FROM pnodes nd LEFT JOIN (
+                SELECT sh.dst AS node, sum(sh.share * p.r) AS x
+                FROM shares sh JOIN pr{_i - 1} p ON p.node = sh.src
+                GROUP BY 1) inf USING (node))"""
+        )
+    pagerank_cte = ",\n".join(_pr_parts)
     return {
         "tokenize_stats": f"""
             SELECT doc_id,
@@ -1953,5 +2102,142 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 63.0 / e.frac END, 6) AS n_distinct_est,
                    ex.n_distinct_exact
             FROM est e JOIN ex USING (lang)
+        """,
+        # event_funnel (round 6): per-step strictly-after first-touch
+        # min, then a depth histogram against the tiny step dim; the
+        # 2-day scope is what differentiates depth at sf0.01
+        "event_funnel": """
+            WITH ev AS (
+              SELECT user_id, event_type, ts FROM events
+              WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+            ), s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM ev
+              WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+              SELECT s1.user_id, any_value(s1.t1) AS t1,
+                     min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+              FROM s1 LEFT JOIN ev e
+                ON e.user_id = s1.user_id AND e.event_type = 'click'
+              GROUP BY 1
+            ), s3 AS (
+              SELECT s2.user_id,
+                     min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+              FROM s2 LEFT JOIN ev e
+                ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+              GROUP BY 1
+            ), depth AS (
+              SELECT s2.user_id,
+                     1 + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+                       + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS d
+              FROM s2 JOIN s3 USING (user_id)
+            ), steps(step, step_name) AS (
+              VALUES (1, 'view'), (2, 'click'), (3, 'purchase')
+            ), counts AS (
+              SELECT s.step, s.step_name,
+                     count(d.user_id)::BIGINT AS n_users
+              FROM steps s LEFT JOIN depth d ON d.d >= s.step
+              GROUP BY 1, 2
+            )
+            SELECT step, step_name, n_users,
+                   round(CASE WHEN max(n_users) OVER () > 0
+                         THEN n_users::DOUBLE / max(n_users) OVER ()
+                         ELSE 0.0 END, 6) AS conversion
+            FROM counts
+        """,
+        # weighted_sample (round 6): xi = md5-dyadic-uniform / weight is
+        # ONE exact hex parse + ONE IEEE division on both engines, so
+        # the priority doubles (and therefore the top-20 per lang) are
+        # bit-identical. 1152921504606846976 = 2^60 = 16^15.
+        "weighted_sample": """
+            WITH k AS (
+              SELECT doc_id, lang, n_chars,
+                     (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                      )::BIGINT::DOUBLE / 1152921504606846976.0)
+                     / n_chars::DOUBLE AS xi
+              FROM documents WHERE n_chars > 0
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY xi ASC, doc_id ASC) AS rk
+              FROM k
+            )
+            SELECT doc_id, lang, n_chars, xi FROM r WHERE rk <= 20
+        """,
+        # length_quantiles (round 6): type-1 quantile = value at rank
+        # ceil(p*n); the p*n product is the same IEEE double on both
+        # engines so the rank (ulp quirks included) matches exactly
+        "length_quantiles": """
+            WITH r AS (
+              SELECT lang, n_chars AS val,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars ASC) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents
+            ), probs(p) AS (
+              VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                     (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                     (CAST(0.99 AS DOUBLE))
+            )
+            SELECT lang, p, val AS q
+            FROM r JOIN probs
+              ON r.rn = greatest(1, ceil(probs.p * r.n)::BIGINT)
+        """,
+        # substring_neardup (round 6): inverted index over verbatim
+        # 8-token windows; DISTINCT per doc, hot windows (> 4096 docs)
+        # dropped exactly as the Spark cap does; count = distinct
+        # shared windows (md5-prefix keying on the Spark side is
+        # injective at these scales so raw-window joins match)
+        "substring_neardup": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+            wins AS (
+              SELECT DISTINCT doc_id, g FROM toks,
+                unnest(list_transform(range(1, len(l) - 8 + 2),
+                       i -> array_to_string(l[i:i+7], ' '))) AS u(g)
+              WHERE len(l) >= 8
+            ), keep AS (
+              SELECT doc_id, g FROM wins
+              QUALIFY count(*) OVER (PARTITION BY g) <= 4096
+            ), p AS (
+              SELECT a.doc_id AS id_left, b.doc_id AS id_right
+              FROM keep a JOIN keep b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+            )
+            SELECT id_left, id_right,
+                   count(*)::BIGINT AS n_shared_windows
+            FROM p GROUP BY 1, 2
+        """,
+        # graph_pagerank (round 6): the 5 iterations are unrolled as
+        # chained CTEs built above (pagerank_cte); symmetric graph ⇒ no
+        # dangling term; round-6 output absorbs sum-order ulp noise
+        "graph_pagerank": f"""
+            WITH {pagerank_cte}
+            SELECT node, round(r, 6) AS pr6 FROM pr{_pr_iters}
+        """,
+        # graph_triangles (round 6): canonical u<v edges make the
+        # wedge+closing join count each triangle exactly once with
+        # x<y<z; zero-triangle endpoints kept via the degree table
+        "graph_triangles": f"""
+            WITH d AS (SELECT doc_id, {_TOKS}[1] AS bk FROM documents
+                       WHERE len({_TOKS}) > 0),
+            ce AS (
+              SELECT DISTINCT l.doc_id AS u, r.doc_id AS v
+              FROM d l JOIN d r ON l.bk = r.bk AND l.doc_id < r.doc_id
+            ), deg AS (
+              SELECT node, count(*) AS dg FROM (
+                SELECT u AS node FROM ce
+                UNION ALL SELECT v AS node FROM ce) t
+              GROUP BY 1
+            ), tri AS (
+              SELECT a.u AS x, a.v AS y, b.v AS z
+              FROM ce a JOIN ce b ON a.v = b.u
+              JOIN ce c ON c.u = a.u AND c.v = b.v
+            ), per AS (
+              SELECT node, count(*)::BIGINT AS t FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y AS node FROM tri
+                UNION ALL SELECT z AS node FROM tri) t
+              GROUP BY 1
+            )
+            SELECT dg.node, coalesce(per.t, 0)::BIGINT AS triangles
+            FROM deg dg LEFT JOIN per USING (node)
         """,
     }

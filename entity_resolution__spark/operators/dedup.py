@@ -476,3 +476,61 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_left", "id_right", "hamming")
     )
+
+
+def shared_window_pairs(
+    df: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int = NGRAM_MAX_BUCKET,
+    salt_threshold: int = NGRAM_SALT_THRESHOLD,
+    n_salts: int = NGRAM_N_SALTS,
+) -> DataFrame:
+    """EXACT substring-duplication pairs: (id_left, id_right,
+    n_shared_windows) for every document pair sharing ≥1 length-
+    `window` token window — the token-granular form of the exact
+    substring-match dedup of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., 2022), which found verbatim
+    spans survive MinHash document-level dedup and measurably hurt LMs.
+
+    Unlike the MinHash/SimHash paths this is a 100%-recall inverted
+    index: every distinct window hashes (md5 prefix — engine-portable)
+    to a key, and the self-join on the key enumerates exactly the pairs
+    with a verbatim shared span, no probabilistic candidate stage.
+    n_shared_windows counts the DISTINCT shared windows — span-length
+    evidence (a k-token verbatim overlap contributes k−window+1).
+
+    Scale shape: explode(distinct windows) → the shared
+    capped/triangle-salted self-join (saltjoin.py) → one pair-keyed
+    count. Stopword-grade window keys (bucket > max_bucket) are dropped
+    on both engines — same audited recall trade as the MinHash path
+    (dropped_hot_buckets reports them). At 100 TB the window hash is
+    the shuffle key; cardinality ≈ total tokens, so this is the
+    suffix-array-free approximation that fits a shuffle-based engine.
+    """
+    from entity_resolution__spark.operators.saltjoin import capped_salted_self_join
+
+    wins = F.array_distinct(
+        F.transform(
+            ngram_sequence(F.col(text_col), n=window),
+            lambda s: F.substring(F.md5(s), 1, 16),
+        )
+    )
+    keyed = (
+        df.select(F.col(id_col).alias("id"), wins.alias("wins"))
+        .filter(F.size("wins") > 0)
+        .select("id", F.explode("wins").alias("win"))
+    )
+    pairs = capped_salted_self_join(
+        keyed,
+        key_cols=["win"],
+        id_col="id",
+        max_bucket=max_bucket,
+        salt_threshold=salt_threshold,
+        n_salts=n_salts,
+    )
+    return (
+        pairs.groupBy("id_left", "id_right")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )

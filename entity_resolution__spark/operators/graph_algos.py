@@ -1,0 +1,219 @@
+"""Whole-graph analytics beyond community detection: PageRank and
+triangle counting over the ER similarity graph.
+
+The reference stops at connected components + Louvain coloring
+(/root/reference/src/graph/visualize_graph_utils.py); once an engine
+carries an edge table at 100 TB scale, centrality and local clustering
+are the next questions a user asks of it ("which entity node anchors
+this dup cluster", "how clique-like is this block"). Both operators are
+pure DataFrame compositions — no UDFs, no driver adjacency:
+
+  pagerank        fixed-iteration weighted PageRank (Page et al. 1999,
+                  the public algorithm). Per iteration: ONE shuffle to
+                  co-locate ranks with the (pre-partitioned, staged)
+                  edge table + ONE partial-aggregated groupBy — the
+                  same 2-exchange loop GraphX/Pregel lowers to, here
+                  in Catalyst where AQE handles hub skew.
+  triangle_count  per-node triangle counts via degree-ordered edge
+                  orientation (compact-forward / Latapy 2008): every
+                  edge points from the (degree, id)-smaller endpoint
+                  to the larger, so each triangle is found EXACTLY
+                  once and the wedge join fans out on out-degree ≤
+                  O(sqrt(m)) instead of max-degree — the difference
+                  between a feasible and an exploding self-join on a
+                  power-law graph.
+
+At 100 TB: pagerank's edge table is partitioned by src once and reused
+every iteration (only the rank vector re-shuffles); lineage is cut per
+iteration (localCheckpoint locally, StageStore parquet on a cluster) so
+plan depth stays O(1). triangle_count's two joins key on the oriented
+source; the orientation bounds every join group, which is why no
+salting tier is needed here (contrast saltjoin.py where key groups are
+unbounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Undirected (src, dst[, weight]) → both directed orientations,
+    self-loops dropped, parallel edges collapsed by max weight (the
+    module-wide dedup rule, same as label_propagation_communities)."""
+    w_col = F.col("weight") if "weight" in edges.columns else F.lit(1.0)
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            w_col.alias("weight"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.max("weight").alias("weight"))
+    )
+    return canon.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "weight"
+    ).unionByName(
+        canon.select(F.col("v").alias("src"), F.col("u").alias("dst"), "weight")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    weighted: bool = True,
+) -> DataFrame:
+    """Directed (src, dst[, weight]) → (node, rank) after a FIXED
+    number of power iterations from the uniform vector — fixed (not
+    convergence-tested) so the result is a deterministic function of
+    the graph, replayable by any engine (the SQL oracle unrolls the
+    same count). rank_0 = 1/n;
+      rank_{i+1}(v) = (1-d)/n + d·(Σ_{u→v} rank_i(u)·w(u→v)/outw(u)
+                                   + dangling_i/n)
+    where dangling_i = Σ rank_i over nodes with no out-edges (their
+    mass redistributes uniformly — the standard teleport treatment).
+    Undirected callers pass `symmetrize(edges)`, which also guarantees
+    no dangling nodes.
+
+    Scale shape: the normalized edge table (src, dst, share) is built
+    ONCE, partitioned by src, and materialized; each iteration is one
+    hash join on src (ranks shuffle, edges don't) + one groupBy dst
+    with map-side partial sums. Ranks are localCheckpoint'ed per
+    iteration to keep the plan O(1) deep — on a cluster this boundary
+    is a StageStore parquet commit (plans/checkpoint.py), same idiom
+    as the CC loop's per-iteration snapshots.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    w_col = (
+        F.col("weight").cast("double")
+        if weighted and "weight" in edges.columns
+        else F.lit(1.0)
+    )
+    e = (
+        edges.select("src", "dst", w_col.alias("w"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.max("w").alias("w"))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    shares = (
+        e.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("outw")).alias("share"))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    dangling = nodes.join(
+        outw.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+    has_dangling = not dangling.isEmpty()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        d_mass = 0.0
+        if has_dangling:
+            # one small aggregate per iteration; the dangling set is a
+            # staged table so this never recomputes upstream
+            row = (
+                ranks.join(dangling, "node", "left_semi")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+            )
+            d_mass = float(row or 0.0)
+        contribs = (
+            shares.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("share") * F.col("rank")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(d_mass / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Undirected (src, dst) → (node, triangles) for every node of the
+    edge set (zero-triangle nodes included, count 0).
+
+    Degree-ordered orientation: every canonical edge {a, b} points from
+    the endpoint with the smaller (degree, id) tuple to the larger —
+    a total order, so each triangle {x≺y≺z} materializes exactly once
+    as the wedge x→y, x→z confirmed by the edge y→z. Out-degrees under
+    this orientation are O(sqrt(m))-bounded (Latapy 2008), which keeps
+    the wedge self-join's per-key fan-out bounded on power-law graphs
+    where a naive neighbor join would square the hub degree.
+
+    Both joins and the final groupBy are plain hash exchanges keyed on
+    a node id — partial-aggregated map-side, AQE-splittable. No
+    collect, no UDF.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionByName(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ranked = canon.join(du, "u").join(dv, "v")
+    ku = F.struct(F.col("du").alias("d"), F.col("u").alias("n"))
+    kv = F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    oriented = ranked.select(
+        F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("b"),
+    ).localCheckpoint(eager=True)
+
+    # wedges rooted at a: two out-neighbors b ≺ c in the SAME total
+    # order — recover it from the oriented edge set itself (b before c
+    # iff the edge b→c could exist), i.e. emit both (b, c) and (c, b)
+    # and let the closing semi-join keep the one that is an edge
+    e1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    e2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    wedges = e1.join(e2, "a").filter(F.col("x") != F.col("y"))
+    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "left_semi")
+
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .unionByName(tris.select(F.col("x").alias("node")))
+        .unionByName(tris.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(per_node, "node", "left")
+        .select(
+            "node", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
+        )
+    )

@@ -427,3 +427,49 @@ def kmv_distinct(
             6,
         ).alias("n_distinct_est"),
     )
+
+
+def sequential_poisson_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling: the k items (per group) with the
+    smallest priority xi = u_i / w_i, where u_i is the md5-derived
+    uniform of the item's id. Sequential Poisson Sampling (Ohlsson,
+    1998) — an approximate probability-proportional-to-size design used
+    for exactly this shape of corpus subsampling ("sample documents
+    proportional to token count").
+
+    Engine-portable BY CONSTRUCTION, unlike Exp(w)-key A-ES sampling:
+    u_i = (first 15 md5 hex digits as int) / 2^60 is exact binary
+    arithmetic, and xi = u_i / w_i is ONE IEEE division (correctly
+    rounded everywhere) — no pow/log whose last-ulp differences across
+    libm implementations could flip a rank. Ranks tie-break on id, so
+    the selected set is a pure function of (ids, weights, k).
+
+    Scale shape: one window top-k per group (rank + filter ⇒ Spark's
+    TakeOrdered-style partial top-k per partition before the exchange);
+    no RNG state, no driver pass. Re-running on any partitioning or
+    engine reproduces the same sample — the same reproducibility
+    contract as hash_stratified_sample, extended to weights.
+    """
+    from pyspark.sql.window import Window
+
+    if k <= 0:
+        raise ValueError(f"sequential_poisson_sample: k must be > 0, got {k}")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")  # string → long → double: both hops exactly
+        .cast("double")  # mirror DuckDB's ('0x'||hex)::BIGINT::DOUBLE
+        / F.lit(float(1 << 60))
+    )
+    w = F.col(weight_col).cast("double")
+    keyed = df.filter(w > 0).withColumn("xi", u / w)
+    part = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    ranked = keyed.withColumn(
+        "rk", F.row_number().over(part.orderBy(F.col("xi").asc(), F.col(id_col).asc()))
+    )
+    return ranked.filter(F.col("rk") <= k).drop("rk")

@@ -108,3 +108,54 @@ def fingerprint_col(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized token
     join (rolling-hash analog, portable to the DuckDB oracle)."""
     return F.md5(F.array_join(tokens_col(text), " "))
+
+
+def group_quantiles(
+    df: "DataFrame",
+    value_col: str,
+    group_col: str,
+    probs: list[float] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> "DataFrame":
+    """EXACT per-group quantiles of a numeric column → (group, p, q).
+
+    Type-1 (lower) empirical quantile: q(p) = the value at rank
+    ceil(p·n) (1-based, ties broken by value only — rank position is
+    irrelevant once sorted). Exact and integer-clean, so the result is
+    bit-identical on any engine — unlike `approx_percentile`
+    (t-digest, merge-order-dependent) this is the corpus-QA form: "the
+    p99 document length" must mean the same number when the oracle,
+    the dashboard, and the pipeline each recompute it.
+
+    Scale shape: ONE window sort per group (row_number + count over the
+    group) and a broadcast of the tiny probs dim — no collect, no
+    second pass. The sort is the unavoidable cost of exactness; at
+    100 TB run it on the already-lang-partitioned staged table so the
+    window needs no extra exchange. Skew note: a single giant group
+    serializes its sort — that is inherent to exact rank (the escape
+    hatch is approx_percentile when exactness is negotiable).
+    """
+    from pyspark.sql.window import Window
+
+    ranked = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("val")
+    ).select(
+        "grp",
+        "val",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(F.col("val").asc())
+        ).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    spark = df.sparkSession
+    pdim = spark.createDataFrame([(float(p),) for p in probs], "p double")
+    return (
+        ranked.join(
+            F.broadcast(pdim),
+            F.col("rn") == F.greatest(F.lit(1), F.ceil(F.col("p") * F.col("n"))),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "p",
+            F.col("val").alias("q"),
+        )
+    )
