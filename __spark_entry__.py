@@ -1012,6 +1012,20 @@ def q_graph_triangles(spark, sf):
     return triangle_count(edges)
 
 
+def q_kmeans_embed(spark, sf):
+    """Deterministic distributed k-means (round 6): k=10 Lloyd's over
+    the 64-d embeddings, 3 fixed iterations from the md5-hash-sampled
+    init (same no-RNG seed rule as ivf_topk) — the embedding-curation
+    clustering SemDeDup-style pipelines need. Assignment is MAP-ONLY
+    (k·d centroid literals in the plan, no join); the update is one
+    posexplode partial-agg avg + a k·d-row collect. The oracle unrolls
+    the same 3 iterations as chained DuckDB CTEs; empty clusters keep
+    their centroid on both engines."""
+    from entity_resolution__spark.operators.similarity import kmeans
+
+    return kmeans(_t(spark, sf, "embeddings"), k=10, iterations=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_stats": q_tokenize_stats,
@@ -1065,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_neardup": q_substring_neardup,
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
+        "kmeans_embed": q_kmeans_embed,
     }
 
 
@@ -1239,6 +1254,49 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1) inf USING (node))"""
         )
     pagerank_cte = ",\n".join(_pr_parts)
+    # kmeans_embed: 3 Lloyd's iterations unrolled as chained CTEs —
+    # same init (md5-smallest ids, cluster index in ascending-id
+    # order), same argmin tie rule (lowest cid), same empty-cluster
+    # retention as operators/similarity.kmeans. 64 = embedding dim.
+    _km_iters, _km_k, _km_d = 3, 10, 64
+    _km_parts = [
+        f"""v AS (SELECT vec_id,
+                         list_transform(embedding, x -> x::DOUBLE) AS e
+                  FROM embeddings),
+            seeds AS (SELECT vec_id, e FROM v
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC,
+                               vec_id ASC
+                      LIMIT {_km_k}),
+            c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                            AS cid, e AS cv
+                   FROM seeds)"""
+    ]
+    for _i in range(_km_iters + 1):
+        _km_parts.append(
+            f"""a{_i} AS (
+              SELECT * FROM (
+                SELECT v.vec_id, v.e, c.cid,
+                       list_sum(list_transform(range(1, {_km_d + 1}),
+                         j -> (v.e[j] - c.cv[j]) * (v.e[j] - c.cv[j])))
+                         AS d
+                FROM v CROSS JOIN c{_i} c)
+              QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY d ASC, cid ASC) = 1)"""
+        )
+        if _i == _km_iters:
+            break
+        _km_parts.append(
+            f"""m{_i} AS (
+              SELECT cid, array_agg(mv ORDER BY j) AS cv FROM (
+                SELECT cid, j, avg(e[j]) AS mv
+                FROM a{_i}, range(1, {_km_d + 1}) t(j)
+                GROUP BY 1, 2)
+              GROUP BY cid),
+            c{_i + 1} AS (
+              SELECT c.cid, coalesce(m.cv, c.cv) AS cv
+              FROM c{_i} c LEFT JOIN m{_i} m USING (cid))"""
+        )
+    kmeans_cte = ",\n".join(_km_parts)
     return {
         "tokenize_stats": f"""
             SELECT doc_id,
@@ -2239,5 +2297,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT dg.node, coalesce(per.t, 0)::BIGINT AS triangles
             FROM deg dg LEFT JOIN per USING (node)
+        """,
+        # kmeans_embed (round 6): the 3 Lloyd's iterations unrolled as
+        # chained CTEs built above (kmeans_cte); round-6 distance
+        # output absorbs sum-order ulp noise, assignments are integers
+        "kmeans_embed": f"""
+            WITH {kmeans_cte}
+            SELECT vec_id, cid AS cluster, round(d, 6) AS dist6
+            FROM a{_km_iters}
         """,
     }

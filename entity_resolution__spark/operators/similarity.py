@@ -408,3 +408,89 @@ def train_centroids_sample(
             if len(pts):
                 C[j] = pts.mean(0)
     return C
+
+
+def kmeans_assign_literal(
+    vecs: DataFrame,
+    centroids,
+    vec_col: str = "e",
+) -> DataFrame:
+    """Squared-L2 argmin assignment against a SMALL centroid set baked
+    into the plan as literals (k·d doubles — no join, no broadcast
+    exchange: the assignment stage is map-only, which is the whole
+    point at 100 TB). Ties break to the lowest centroid id via struct
+    array_min ordering. Adds (cluster, dist) columns."""
+    carr = [
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ]
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), cj, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(j).alias("c"),
+            )
+            for j, cj in enumerate(carr)
+        ]
+    )
+    best = F.array_min(dists)
+    return vecs.withColumn("cluster", best["c"]).withColumn("dist", best["d"])
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means over an embedding
+    column → (id, cluster, dist6): FIXED iteration count from the
+    hash-sampled init (`hash_sampled_centroids` — the same no-RNG seed
+    rule that put ivf_topk in the oracle gate), so the result is a
+    pure function of (corpus, k, iterations) that any engine replays —
+    the SQL oracle unrolls the same iterations as chained CTEs.
+    Replaces the reference's library kNN/cluster calls
+    (scripts/run_blocking.py:28-37) for the embedding-curation use
+    (SemDeDup-style cluster-then-prune needs exactly this).
+
+    Scale shape per iteration: assignment is MAP-ONLY (centroids are
+    k·d literals in the plan — no join, no shuffle of the corpus);
+    the update is one posexplode → (cluster, dim) partial-agg avg —
+    n·d rows shuffled down to k·d map-side — and a k·d-row collect.
+    Empty clusters keep their previous centroid (documented; the
+    oracle mirrors it). All arithmetic in float64 with index-order
+    sums (F.aggregate), matching the oracle's evaluation order."""
+    if k <= 0 or iterations < 0:
+        raise ValueError(f"kmeans: bad k={k} / iterations={iterations}")
+    cents = hash_sampled_centroids(emb, n=k, id_col=id_col, vec_col=vec_col)
+    k = len(cents)  # corpus smaller than k ⇒ one centroid per row
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        assigned = kmeans_assign_literal(v, cents)
+        upd = (
+            assigned.select(
+                "cluster", F.posexplode("e").alias("dim", "val")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        nxt = cents.copy()
+        for r in upd:
+            nxt[r["cluster"]][r["dim"]] = r["m"]
+        cents = nxt
+    out = kmeans_assign_literal(v, cents)
+    return out.select(
+        F.col("vid").alias(id_col),
+        "cluster",
+        F.round("dist", 6).alias("dist6"),
+    )
