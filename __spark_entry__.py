@@ -1026,6 +1026,20 @@ def q_kmeans_embed(spark, sf):
     return kmeans(_t(spark, sf, "embeddings"), k=10, iterations=3)
 
 
+def q_bm25_topk(spark, sf):
+    """Okapi BM25 top-15 retrieval (round 6) for the 4-term query
+    "spark window merge join" over the documents table — ranked corpus
+    slicing, the IR op the text family lacked. Per-doc work ∝ query-
+    term HITS (token list filtered against the tiny literal vocabulary
+    BEFORE the explode); df/N/avgdl are K-row aggregates; the top-k is
+    orderBy+limit (distributed TakeOrdered), never a global sort.
+    Scores round to 6 BEFORE ranking (the ivf/knn rule) so the
+    selected set is engine-stable; ties break on doc_id."""
+    from entity_resolution__spark.operators.textstats import bm25_rank
+
+    return bm25_rank(_t(spark, sf, "documents"), "spark window merge join", k=15)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_stats": q_tokenize_stats,
@@ -1080,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
         "kmeans_embed": q_kmeans_embed,
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -2305,5 +2320,38 @@ def oracle_sql() -> dict[str, str]:
             WITH {kmeans_cte}
             SELECT vec_id, cid AS cluster, round(d, 6) AS dist6
             FROM a{_km_iters}
+        """,
+        # bm25_topk (round 6): same formula with the same operation
+        # association as the Spark plan — ((idf·tf)·2.2)/(tf +
+        # (1.2·(0.25 + ((0.75·dl)/avgdl)))) — round-6 before rank,
+        # doc_id ties. 2.2 = k1+1 parses to the identical double.
+        "bm25_topk": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+            st AS (SELECT count(*)::DOUBLE AS n,
+                          avg(len(l))::DOUBLE AS avgdl FROM t),
+            hits AS (
+              SELECT doc_id, len(l)::DOUBLE AS dl,
+                     unnest(list_filter(l, x -> list_contains(
+                       ['join', 'merge', 'spark', 'window'], x))) AS tok
+              FROM t
+            ), tf AS (
+              SELECT doc_id, tok, count(*)::DOUBLE AS tf,
+                     any_value(dl) AS dl
+              FROM hits GROUP BY 1, 2
+            ), dfq AS (
+              SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+            ), sc AS (
+              SELECT doc_id, round(sum(
+                (ln(1.0 + (((SELECT n FROM st) - df + 0.5) / (df + 0.5)))
+                 * tf * 2.2)
+                / (tf + (1.2 * (0.25 + ((0.75 * dl)
+                                        / (SELECT avgdl FROM st)))))
+              ), 6) AS score6
+              FROM tf JOIN dfq USING (tok) GROUP BY 1
+            )
+            SELECT doc_id, score6,
+                   row_number() OVER (
+                     ORDER BY score6 DESC, doc_id ASC) AS rank
+            FROM sc ORDER BY score6 DESC, doc_id ASC LIMIT 15
         """,
     }

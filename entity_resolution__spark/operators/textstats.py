@@ -159,3 +159,84 @@ def group_quantiles(
             F.col("val").alias("q"),
         )
     )
+
+
+def bm25_rank(
+    df: "DataFrame",
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Okapi BM25 top-k retrieval over the corpus → (id, score6, rank):
+    the IR scoring a training-data engine needs for query-based corpus
+    slicing / relevance filtering (reference has tf-idf features only,
+    models/pairwise_classifier.py — no ranked retrieval).
+
+      idf(t)    = ln(1 + (N − df + 0.5)/(df + 0.5))
+      score(d)  = Σ_t idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
+
+    Deterministic ranking: scores are rounded to 6 BEFORE the top-k
+    (same rule as ivf/knn — raw-float ordering could flip on ulp noise
+    across engines), ties broken by ascending id.
+
+    Scale shape: per-doc work is proportional to QUERY-TERM HITS, not
+    document length — the token list is filtered to the (tiny, literal)
+    query vocabulary before the explode, so the (doc, term) tf table
+    carries only matches. df/N/avgdl are one K-row aggregate each; the
+    final top-k is orderBy+limit = distributed TakeOrdered, never a
+    global unpartitioned sort. No UDFs anywhere."""
+    import re
+
+    from pyspark.sql.window import Window
+
+    # same tokenizer as tokens_col: lowercase [a-z0-9]+ runs
+    terms = sorted(set(re.findall(r"[a-z0-9]+", query.lower())))
+    if not terms or k <= 0:
+        raise ValueError(f"bm25_rank: empty query or bad k={k}")
+    qlit = F.array(*[F.lit(t) for t in terms])
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("l")
+    )
+    # one pass for the corpus constants (N, avgdl) — a 1-row collect
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("l")).alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"] or 0.0)
+    tf = (
+        toks.select(
+            "id",
+            F.size("l").alias("dl"),
+            F.explode(
+                F.filter("l", lambda x: F.array_contains(qlit, x))
+            ).alias("tok"),
+        )
+        .groupBy("id", "tok")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
+    )
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (k1 + 1.0) / denom), 6
+            ).alias("score6")
+        )
+    )
+    top = scored.orderBy(F.col("score6").desc(), F.col("id").asc()).limit(k)
+    w = Window.partitionBy().orderBy(F.col("score6").desc(), F.col("id").asc())
+    return top.select(
+        F.col("id").alias(id_col), "score6", F.row_number().over(w).alias("rank")
+    )

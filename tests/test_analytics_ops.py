@@ -172,3 +172,55 @@ def test_shared_window_pairs_short_docs_and_empty(spark):
     )
     assert shared_window_pairs(df, window=8).count() == 0
     assert shared_window_pairs(df.limit(0), window=8).count() == 0
+
+
+def test_bm25_rank_hand_computed(spark):
+    import math
+
+    from entity_resolution__spark.operators.textstats import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join join"),
+            (2, "spark window"),
+            (3, "table scan scan scan"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bm25_rank(docs, "Spark JOIN!", k=10).collect()}
+    # replicate the exact formula: N=3, avgdl=3, df(spark)=2, df(join)=1
+    n, avgdl, k1, b = 3.0, 3.0, 1.2, 0.75
+    idf = lambda df: math.log(1.0 + (n - df + 0.5) / (df + 0.5))  # noqa: E731
+
+    def term(tf, df, dl):
+        return idf(df) * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    exp1 = round(term(1, 2, 3) + term(2, 1, 3), 6)
+    exp2 = round(term(1, 2, 2), 6)
+    assert set(got) == {1, 2}  # d3 has no query terms
+    assert got[1]["score6"] == pytest.approx(exp1, abs=2e-6)
+    assert got[2]["score6"] == pytest.approx(exp2, abs=2e-6)
+    assert got[1]["rank"] == 1 and got[2]["rank"] == 2
+
+
+def test_bm25_rank_k_truncates_and_ties_on_id(spark):
+    from entity_resolution__spark.operators.textstats import bm25_rank
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta") for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    got = bm25_rank(docs, "alpha", k=3).collect()
+    # identical docs -> identical score6; ranking falls to ascending id
+    assert [r["doc_id"] for r in got] == [1, 2, 3]
+    assert len({r["score6"] for r in got}) == 1
+
+
+def test_bm25_rank_bad_args(spark):
+    from entity_resolution__spark.operators.textstats import bm25_rank
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_rank(docs, "???")
+    with pytest.raises(ValueError):
+        bm25_rank(docs, "x", k=0)
