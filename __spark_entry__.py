@@ -1026,6 +1026,56 @@ def q_kmeans_embed(spark, sf):
     return kmeans(_t(spark, sf, "embeddings"), k=10, iterations=3)
 
 
+def q_regional_revenue(spark, sf):
+    """TPC-H Q5 analog (round 6): 1995 revenue per ASIA nation where
+    customer and supplier share the nation — the 6-table join shape
+    (two facts + four dims) the SQL family lacked. Plan posture: the
+    o_orderdate year filter and the r_name filter sit on the scans
+    (pushdown), nation⋈region is explicitly broadcast (guaranteed-tiny
+    dim even at 100 TB), the lineitem⋈orders fact-fact join keys on
+    orderkey, and AQE picks broadcast vs shuffle for supplier/customer
+    by observed size rather than a hardcoded hint. Revenue aggregates
+    as exact decimals (order-independent across partitionings)."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        _t(spark, sf, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = (
+        _t(spark, sf, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nat = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    cust = c.join(nat, c["c_nationkey"] == nat["n_nationkey"]).select(
+        "c_custkey", "c_nationkey", "n_name"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            cust,
+            (o["o_custkey"] == cust["c_custkey"])
+            & (s["s_nationkey"] == cust["c_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(F.round(_drevenue(), 4).alias("revenue"))
+    )
+
+
 def q_bm25_topk(spark, sf):
     """Okapi BM25 top-15 retrieval (round 6) for the 4-term query
     "spark window merge join" over the documents table — ranked corpus
@@ -1095,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "kmeans_embed": q_kmeans_embed,
         "bm25_topk": q_bm25_topk,
+        "regional_revenue": q_regional_revenue,
     }
 
 
@@ -2353,5 +2404,24 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (
                      ORDER BY score6 DESC, doc_id ASC) AS rank
             FROM sc ORDER BY score6 DESC, doc_id ASC LIMIT 15
+        """,
+        # regional_revenue (round 6): TPC-H Q5 analog — same-nation
+        # customer/supplier, ASIA, order year 1995; exact-decimal sum
+        "regional_revenue": """
+            SELECT n_name,
+                   round((sum(l_extendedprice::DECIMAL(18,2)
+                              * (1 - l_discount::DECIMAL(3,2))))::DOUBLE,
+                         4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+            GROUP BY n_name
         """,
     }
