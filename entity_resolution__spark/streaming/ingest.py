@@ -211,3 +211,39 @@ def conversation_progress(
         "update",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    type_col: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling-window event counts — the core Structured
+    Streaming aggregation shape (groupBy window(ts) with late-data
+    handling) the streaming family lacked next to dedup and the custom
+    stateful op.
+
+    Append-mode semantics: a window row emits ONLY once the watermark
+    passes its end (the window is closed — its count is final and
+    exactly-once), and a row arriving LATER than the watermark is
+    dropped rather than mutating an already-emitted window. State is
+    one partial count per open (window, type) — bounded by
+    watermark/window, independent of event volume; at 10¹²-event scale
+    the partial aggregation happens map-side before the keyed state
+    shuffle, so the state store sees combiner output, not raw rows."""
+    keys = [F.window(F.col(ts_col), window)]
+    if type_col:
+        keys.append(F.col(type_col))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            *([type_col] if type_col else []),
+            "n_events",
+        )
+    )

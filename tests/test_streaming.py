@@ -321,3 +321,80 @@ def test_conversation_progress_rocksdb_state_store(spark, tmp_path):
     assert ok, "rocksdb-backed query produced no output in 90s"
     assert got["r1"]["n_turns"] == 2 and got["r2"]["n_turns"] == 1
     assert max(series.values()) == 2
+
+
+def test_windowed_event_counts_emission_and_late_drop(spark, tmp_path):
+    """Two-phase availableNow run against ONE checkpoint: phase A
+    emits exactly the windows the watermark has closed (the still-open
+    tail window is held back); phase B appends a LATE row (older than
+    the persisted watermark — must be dropped, never re-emitting its
+    window) plus a fresh row that advances the watermark and closes
+    the formerly-open window. This pins the full append-mode
+    late-data contract, not just happy-path counts."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from entity_resolution__spark.streaming.ingest import windowed_event_counts
+
+    def _write(rows, name):
+        pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "ts"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        spark.createDataFrame(
+            pdf, schema="event_id long, event_type string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "win_out")
+
+    def _run(qname):
+        # file sink (memory sink cannot resume from a checkpoint, and
+        # the resume IS the point: phase B must inherit A's watermark)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("event_id long, event_type string, ts timestamp")
+            .load(src)
+        )
+        out = windowed_event_counts(stream, type_col="event_type")
+        q = (
+            out.writeStream.format("parquet")
+            .queryName(qname)
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            (r["win_start"].hour, r["event_type"], r["n_events"])
+            for r in spark.read.parquet(out_dir).collect()
+        )
+
+    src = str(tmp_path / "ev_src")
+    t = lambda h, m: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+    _write(
+        [
+            (1, "click", t(10, 5)),
+            (2, "click", t(10, 20)),
+            (3, "view", t(10, 40)),
+            (4, "click", t(11, 10)),
+            (5, "view", t(12, 50)),  # advances watermark to 12:20
+        ],
+        "a",
+    )
+    got_a = _run("win_phase_a")
+    # hours 10 and 11 are closed (end <= 12:20); hour 12 is still open
+    assert got_a == [(10, "click", 2), (10, "view", 1), (11, "click", 1)]
+
+    _write(
+        [
+            (6, "click", t(10, 30)),  # LATE: before the 12:20 watermark
+            (7, "error", t(13, 40)),  # closes hour 12; hour 13 stays open
+        ],
+        "b",
+    )
+    got_b = _run("win_phase_b")
+    # the file sink accumulates: phase B adds ONLY the newly closed
+    # hour-12 window; the late click is dropped (hour 10 never
+    # re-emits) and hour 13 is held open
+    assert got_b == sorted(got_a + [(12, "view", 1)])
