@@ -1076,6 +1076,20 @@ def q_regional_revenue(spark, sf):
     )
 
 
+def q_exact_jaccard_pairs(spark, sf):
+    """EXACT trigram-Jaccard near-dup pairs (round 6): prefix-filtering
+    AllPairs/PPJoin — 100% recall by the prefix theorem (docs ordered
+    by global shingle rarity; a J≥t pair must collide inside both
+    prefixes), vs the MinHash path's probabilistic ≥95%. The prefix
+    join keys on each doc's RAREST shingles (naturally small buckets),
+    triangle-salted but UNCAPPED — exactness is never traded for skew.
+    At sf0.01 it returns the same 25 pairs the LSH path found,
+    proving that path's 100% empirical recall here."""
+    from entity_resolution__spark.operators.dedup import exact_jaccard_join
+
+    return exact_jaccard_join(_t(spark, sf, "documents"), n=3, threshold=0.2)
+
+
 def q_bm25_topk(spark, sf):
     """Okapi BM25 top-15 retrieval (round 6) for the 4-term query
     "spark window merge join" over the documents table — ranked corpus
@@ -1146,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embed": q_kmeans_embed,
         "bm25_topk": q_bm25_topk,
         "regional_revenue": q_regional_revenue,
+        "exact_jaccard_pairs": q_exact_jaccard_pairs,
     }
 
 
@@ -2423,5 +2438,25 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
               AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
             GROUP BY n_name
+        """,
+        # exact_jaccard_pairs (round 6): the oracle is the BRUTE-FORCE
+        # quadratic join — the strongest possible check of the prefix-
+        # filtered plan's 100%-recall claim (pairs AND values)
+        "exact_jaccard_pairs": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+            sh AS (
+              SELECT doc_id, list_sort(list_distinct(list_transform(
+                       range(1, len(l) - 3 + 2),
+                       i -> array_to_string(l[i:i+2], ' ')))) AS ts
+              FROM toks WHERE len(l) >= 3
+            ), p AS (
+              SELECT l.doc_id AS id_left, r.doc_id AS id_right,
+                     len(list_intersect(l.ts, r.ts)) AS inter,
+                     len(l.ts) AS nl, len(r.ts) AS nr
+              FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+            )
+            SELECT id_left, id_right,
+                   round(inter::DOUBLE / (nl + nr - inter), 6) AS jaccard
+            FROM p WHERE inter::DOUBLE / (nl + nr - inter) >= 0.2
         """,
     }

@@ -534,3 +534,110 @@ def shared_window_pairs(
         pairs.groupBy("id_left", "id_right")
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )
+
+
+def exact_jaccard_join(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_threshold: int = NGRAM_SALT_THRESHOLD,
+    n_salts: int = NGRAM_N_SALTS,
+) -> DataFrame:
+    """EXACT shingle-Jaccard self-join: every pair with
+    J(shingles_a, shingles_b) ≥ threshold, 100% recall — the
+    prefix-filtering AllPairs/PPJoin algorithm (Bayardo et al. WWW'07;
+    Xiao et al. WWW'08), the published exact method at corpus scale,
+    complementing the probabilistic MinHash path (ngram_jaccard_pairs,
+    recall ≥95%) when the dedup decision must be provably complete.
+
+    Prefix principle: order each doc's shingle set by GLOBAL rarity
+    (ascending document frequency, ties on the shingle string — one
+    total order both engines share); if J(x, y) ≥ t, the first
+    |x| − ⌈t·|x|⌉ + 1 elements of x and of y must share an element,
+    so joining ONLY on prefix shingles loses nothing. Candidates then
+    pass a size filter (min ≥ ⌈t·max⌉) and exact inclusion-exclusion
+    verification.
+
+    Scale shape: the prefix join keys on the RAREST shingles of each
+    doc — exactly the keys with the smallest buckets (the head of the
+    Zipf curve never enters a prefix unless a doc has nothing rarer).
+    The self-join is triangle-salted above salt_threshold but NOT
+    capped (uncapped max_bucket): dropping hot buckets would break the
+    exactness contract — skew is handled, recall is not traded.
+    Verification is one pair-keyed join of the (already materialized)
+    sorted shingle arrays; jaccard = inter/(|a|+|b|−inter) is one
+    exact integer-derived division, identical on any engine."""
+    from entity_resolution__spark.operators.saltjoin import (
+        capped_salted_self_join,
+    )
+
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"exact_jaccard_join: bad threshold {threshold}")
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            ngram_shingles(F.col(text_col), n).alias("ts"),
+        )
+        .filter(F.size("ts") > 0)
+        .withColumn("sz", F.size("ts"))
+        .localCheckpoint(eager=True)  # reused by ordering + both verify legs
+    )
+    ex = sh.select("id", F.explode("ts").alias("g"))
+    dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    ordered = (
+        ex.join(dfreq, "g")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("gdf"), F.col("g")))
+            ).alias("ord")
+        )
+    )
+    plen = (
+        F.size("ord")
+        - F.ceil(F.lit(float(threshold)) * F.size("ord")).cast("int")
+        + F.lit(1)
+    )
+    pref = ordered.select(
+        "id",
+        F.explode(
+            F.slice(F.transform("ord", lambda s: s["g"]), F.lit(1), plen)
+        ).alias("g"),
+    ).distinct()
+    pairs = (
+        capped_salted_self_join(
+            pref.select("g", "id"),
+            key_cols=["g"],
+            id_col="id",
+            max_bucket=2**31 - 1,  # EXACT: never drop, only salt
+            salt_threshold=salt_threshold,
+            n_salts=n_salts,
+        )
+        .select("id_left", "id_right")
+        .distinct()
+    )
+    a = sh.select(
+        F.col("id").alias("id_left"),
+        F.col("ts").alias("ts_l"),
+        F.col("sz").alias("sz_l"),
+    )
+    b = sh.select(
+        F.col("id").alias("id_right"),
+        F.col("ts").alias("ts_r"),
+        F.col("sz").alias("sz_r"),
+    )
+    inter = F.size(F.array_intersect("ts_l", "ts_r"))
+    jac = inter / (F.col("sz_l") + F.col("sz_r") - inter)
+    return (
+        pairs.join(a, "id_left")
+        .join(b, "id_right")
+        .filter(
+            F.least("sz_l", "sz_r")
+            >= F.ceil(F.lit(float(threshold)) * F.greatest("sz_l", "sz_r"))
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_left", "id_right", F.round("jaccard", 6).alias("jaccard"))
+    )

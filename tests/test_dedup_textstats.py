@@ -410,3 +410,59 @@ def test_chunk_documents_windows(spark):
     }
     with _pytest.raises(ValueError):
         chunk_documents(d, chunk_tokens=4, overlap=4)
+
+
+def test_exact_jaccard_join_equals_bruteforce(spark):
+    """Prefix-filtering exact jaccard join must EQUAL the quadratic
+    brute-force pair set — pairs AND values — across thresholds and
+    shingle sizes, on a seeded random corpus with planted near-dups
+    (100%-recall contract, unlike the MinHash path)."""
+    import random
+    import re
+
+    from entity_resolution__spark.operators.dedup import exact_jaccard_join
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 25)))))
+    # planted near-dups: copies with small edits
+    for j, (src, _) in enumerate(docs[:6]):
+        words = docs[src][1].split()
+        if len(words) > 3:
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((100 + j, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingles(text, n):
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    for n, t in ((3, 0.2), (2, 0.5), (1, 0.8)):
+        sets = {i: shingles(x, n) for i, x in docs}
+        expect = {}
+        ids = sorted(k for k in sets if sets[k])
+        for ai in range(len(ids)):
+            for bi in range(ai + 1, len(ids)):
+                a, b = ids[ai], ids[bi]
+                inter = len(sets[a] & sets[b])
+                uni = len(sets[a] | sets[b])
+                j = inter / uni
+                if j >= t:
+                    expect[(a, b)] = round(j, 6)
+        got = {
+            (r["id_left"], r["id_right"]): r["jaccard"]
+            for r in exact_jaccard_join(df, n=n, threshold=t).collect()
+        }
+        assert got == expect, (n, t, len(got), len(expect))
+
+
+def test_exact_jaccard_join_bad_threshold(spark):
+    from entity_resolution__spark.operators.dedup import exact_jaccard_join
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_jaccard_join(df, threshold=0.0)
