@@ -1076,6 +1076,28 @@ def q_regional_revenue(spark, sf):
     )
 
 
+def q_unigram_logprob(spark, sf):
+    """Per-doc unigram NLL under the corpus's own LM (round 6) — the
+    CCNet-perplexity-style distributional quality signal next to the
+    rule-based quality_gate. tf aggregates per (doc, token) BEFORE the
+    token-keyed count join (the Zipf head is AQE-splittable); T is one
+    1-row aggregate."""
+    from entity_resolution__spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf, "documents"))
+
+
+def q_table_profile(spark, sf):
+    """ANALYZE-TABLE-style column profile of orders (round 6): rows /
+    nulls / EXACT distinct per column in one logical scan (expanded
+    multi-distinct aggregate), reshaped driver-side from a single
+    K-value row — reproducible profiling (HLL registers are engine-
+    specific; exact counts hash-match any engine)."""
+    from entity_resolution__spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf, "orders"))
+
+
 def q_exact_jaccard_pairs(spark, sf):
     """EXACT trigram-Jaccard near-dup pairs (round 6): prefix-filtering
     AllPairs/PPJoin — 100% recall by the prefix theorem (docs ordered
@@ -1161,6 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "regional_revenue": q_regional_revenue,
         "exact_jaccard_pairs": q_exact_jaccard_pairs,
+        "unigram_logprob": q_unigram_logprob,
+        "table_profile": q_table_profile,
     }
 
 
@@ -2459,4 +2483,37 @@ def oracle_sql() -> dict[str, str]:
                    round(inter::DOUBLE / (nl + nr - inter), 6) AS jaccard
             FROM p WHERE inter::DOUBLE / (nl + nr - inter) >= 0.2
         """,
+        # unigram_logprob (round 6): same tf-first shape; ln(c/T) with
+        # the same operation order as the Spark plan, round-6 absorbs
+        # libm/sum-order ulp noise
+        "unigram_logprob": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+            tot AS (SELECT sum(len(l))::DOUBLE AS t FROM toks),
+            tf AS (
+              SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM (
+                SELECT doc_id, unnest(l) AS tok FROM toks)
+              GROUP BY 1, 2
+            ), cc AS (SELECT tok, sum(tf) AS c FROM tf GROUP BY 1),
+            per AS (
+              SELECT doc_id,
+                     sum(tf * ln(c / (SELECT t FROM tot))) AS lp,
+                     sum(tf) AS n
+              FROM tf JOIN cc USING (tok) GROUP BY 1
+            )
+            SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
+                   round(coalesce(-per.lp / per.n, 0.0), 6) AS nll6
+            FROM toks t LEFT JOIN per USING (doc_id)
+        """,
+        # table_profile (round 6): one UNION ALL branch per column
+        "table_profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS column, count(*)::BIGINT AS n_rows,
+                   (count(*) - count({c}))::BIGINT AS n_nulls,
+                   count(DISTINCT {c})::BIGINT AS n_distinct
+            FROM orders"""
+            for c in (
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderdate", "o_orderpriority",
+            )
+        ),
     }

@@ -240,3 +240,51 @@ def bm25_rank(
     return top.select(
         F.col("id").alias(id_col), "score6", F.row_number().over(w).alias("rank")
     )
+
+
+def unigram_logprob(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Per-document unigram negative log-likelihood under the corpus's
+    own unigram LM: nll = −(1/n)·Σ_t ln(count(t)/T) over positional
+    tokens — the cheap engine-native analog of CCNet's LM-perplexity
+    quality signal (docs whose tokens are corpus-typical score low;
+    gibberish and vocabulary outliers score high). Complements the
+    rule-based quality_gate with a distributional signal.
+
+    Scale shape: tokens aggregate to per-(doc, token) tf FIRST, so the
+    token-keyed join against the count table carries doc-distinct
+    tokens, not the raw stream; the Zipf head ("the") is exactly the
+    key AQE's skew-join splits. T is one 1-row aggregate. Empty docs
+    yield nll 0.0."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("l")
+    )
+    total = float(
+        toks.agg(F.sum(F.size("l"))).collect()[0][0] or 0.0
+    )
+    tf = (
+        toks.select("id", F.explode("l").alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    cc = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    per = (
+        tf.join(cc, "tok")
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("tf") * F.log(F.col("c") / F.lit(total))).alias("lp"),
+            F.sum("tf").alias("n"),
+        )
+    )
+    return (
+        toks.select("id", F.size("l").cast("long").alias("n_tokens"))
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.round(
+                F.coalesce(-F.col("lp") / F.col("n"), F.lit(0.0)), 6
+            ).alias("nll6"),
+        )
+    )

@@ -224,3 +224,45 @@ def test_bm25_rank_bad_args(spark):
         bm25_rank(docs, "???")
     with pytest.raises(ValueError):
         bm25_rank(docs, "x", k=0)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from entity_resolution__spark.operators.textstats import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    # T=5; counts a:2 b:2 c:1
+    exp1 = -(2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp2 = -(math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["nll6"] == pytest.approx(exp1, abs=2e-6)
+    assert got[2]["nll6"] == pytest.approx(exp2, abs=2e-6)
+    assert got[3]["n_tokens"] == 0 and got[3]["nll6"] == 0.0
+    # rare-vocab doc scores HIGHER than corpus-typical doc
+    assert got[2]["nll6"] > got[1]["nll6"]
+
+
+def test_profile_table(spark):
+    from entity_resolution__spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "x", 5.0), (3, None, 5.0), (4, "y", 7.0)],
+        "a long, b string, c double",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert (got["a"]["n_nulls"], got["a"]["n_distinct"]) == (0, 4)
+    assert (got["b"]["n_nulls"], got["b"]["n_distinct"]) == (1, 2)
+    assert (got["c"]["n_nulls"], got["c"]["n_distinct"]) == (1, 2)
+
+
+def test_profile_table_empty_cols(spark):
+    from entity_resolution__spark.operators.profile import profile_table
+
+    with pytest.raises(ValueError):
+        profile_table(spark.createDataFrame([], "struct<>"))
