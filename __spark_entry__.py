@@ -1076,6 +1076,28 @@ def q_regional_revenue(spark, sf):
     )
 
 
+def q_kmeans_f1(spark, sf):
+    """Pairwise-F1 clustering evaluation WITHOUT pair materialization
+    (round 6) — the north-rule acceptance metric (pairwise F1 vs
+    reference clusters) as a distributed operator: every pairwise count
+    is a binomial sum over the cluster×label contingency table, so the
+    evaluation is three count-shuffles + a 1-row reduce — computable at
+    10¹² turns where explicit pair sets are unbuildable. Here it scores
+    the deterministic k-means assignment against the embeddings' true
+    blob labels (exact counts ⇒ exact rational P/R/F1, hash-exact)."""
+    from entity_resolution__spark.operators.evaluate import (
+        pairwise_cluster_metrics,
+    )
+    from entity_resolution__spark.operators.similarity import kmeans
+
+    emb = _t(spark, sf, "embeddings")
+    pred = kmeans(emb, k=10, iterations=3).select(
+        F.col("vec_id").alias("node"), "cluster"
+    )
+    truth = emb.select(F.col("vec_id").alias("node"), "label")
+    return pairwise_cluster_metrics(pred, truth)
+
+
 def q_unigram_logprob(spark, sf):
     """Per-doc unigram NLL under the corpus's own LM (round 6) — the
     CCNet-perplexity-style distributional quality signal next to the
@@ -1185,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_jaccard_pairs": q_exact_jaccard_pairs,
         "unigram_logprob": q_unigram_logprob,
         "table_profile": q_table_profile,
+        "kmeans_f1": q_kmeans_f1,
     }
 
 
@@ -2503,6 +2526,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
                    round(coalesce(-per.lp / per.n, 0.0), 6) AS nll6
             FROM toks t LEFT JOIN per USING (doc_id)
+        """,
+        # kmeans_f1 (round 6): the same unrolled kmeans CTEs feed the
+        # contingency-table pairwise metric; every count is an exact
+        # integer so P/R/F1 are exact rationals — hash-exact
+        "kmeans_f1": f"""
+            WITH {kmeans_cte},
+            assign AS (SELECT vec_id AS n, cid AS c FROM a{_km_iters}),
+            tr AS (SELECT vec_id AS n, label AS t FROM embeddings),
+            cont AS (
+              SELECT c, t, count(*)::DOUBLE AS nij
+              FROM assign JOIN tr USING (n) GROUP BY 1, 2
+            ),
+            tpv AS (SELECT sum((nij * (nij - 1)) / 2) AS v FROM cont),
+            prv AS (SELECT sum((ni * (ni - 1)) / 2) AS v FROM (
+                      SELECT sum(nij) AS ni FROM cont GROUP BY c)),
+            tuv AS (SELECT sum((nj * (nj - 1)) / 2) AS v FROM (
+                      SELECT sum(nij) AS nj FROM cont GROUP BY t)),
+            m AS (
+              SELECT tpv.v AS tp, prv.v AS p, tuv.v AS t
+              FROM tpv, prv, tuv
+            ), r AS (
+              SELECT tp, p, t,
+                     CASE WHEN p > 0 THEN tp / p ELSE 0.0 END AS prec,
+                     CASE WHEN t > 0 THEN tp / t ELSE 0.0 END AS rec
+              FROM m
+            )
+            SELECT coalesce(tp, 0.0)::BIGINT AS tp_pairs,
+                   coalesce(p, 0.0)::BIGINT AS pred_pairs,
+                   coalesce(t, 0.0)::BIGINT AS true_pairs,
+                   round(prec, 6) AS precision6,
+                   round(rec, 6) AS recall6,
+                   round(CASE WHEN prec + rec > 0
+                         THEN 2 * prec * rec / (prec + rec)
+                         ELSE 0.0 END, 6) AS f16
+            FROM r
         """,
         # table_profile (round 6): one UNION ALL branch per column
         "table_profile": " UNION ALL ".join(

@@ -1,0 +1,80 @@
+"""Clustering evaluation at scale: pairwise precision/recall/F1
+WITHOUT materializing pairs.
+
+north_rule's acceptance metric is pairwise F1 >= 0.99 vs reference
+clusters (BASELINE.json.metric; cf. the python test oracle
+tests/oracle.py:pairwise_f1, which builds explicit pair sets). At
+10^12 turns the pair sets are unbuildable — but every pairwise count
+is a sum of binomial coefficients over the cluster x label
+contingency table:
+
+    TP = sum_ij C(n_ij, 2)   same cluster AND same label
+    P  = sum_i  C(n_i., 2)   same predicted cluster
+    T  = sum_j  C(n_.j, 2)   same true label
+
+so the whole evaluation is three count-shuffles (keyed on
+(cluster,label), cluster, label) + one 1-row reduce. Exact, and the
+only driver data is the final scalar row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pairs(n):
+    return (n * (n - F.lit(1))) / F.lit(2)
+
+
+def pairwise_cluster_metrics(
+    predicted: DataFrame,
+    truth: DataFrame,
+    node_col: str = "node",
+    cluster_col: str = "cluster",
+    label_col: str = "label",
+) -> DataFrame:
+    """(node, cluster) x (node, label) → one row
+    (tp_pairs, pred_pairs, true_pairs, precision6, recall6, f16).
+
+    Nodes present in only one input are ignored (inner join) — the
+    metric is defined over the co-labeled population. Zero-pair edge
+    cases (all singletons) yield 0.0 scores, not nulls/NaN."""
+    j = predicted.select(
+        F.col(node_col).alias("n"), F.col(cluster_col).alias("c")
+    ).join(
+        truth.select(F.col(node_col).alias("n"), F.col(label_col).alias("t")),
+        "n",
+    )
+    cont = j.groupBy("c", "t").agg(F.count(F.lit(1)).alias("nij"))
+    # contingency is reused by all three sums; its marginals are tiny
+    cont = cont.localCheckpoint(eager=False)
+    tp = cont.agg(F.sum(_pairs(F.col("nij"))).alias("v"))
+    pred = (
+        cont.groupBy("c")
+        .agg(F.sum("nij").alias("ni"))
+        .agg(F.sum(_pairs(F.col("ni"))).alias("v"))
+    )
+    true = (
+        cont.groupBy("t")
+        .agg(F.sum("nij").alias("nj"))
+        .agg(F.sum(_pairs(F.col("nj"))).alias("v"))
+    )
+    row = (
+        tp.select(F.col("v").alias("tp"))
+        .crossJoin(pred.select(F.col("v").alias("p")))
+        .crossJoin(true.select(F.col("v").alias("t")))
+    )
+    prec = F.when(F.col("p") > 0, F.col("tp") / F.col("p")).otherwise(0.0)
+    rec = F.when(F.col("t") > 0, F.col("tp") / F.col("t")).otherwise(0.0)
+    f1 = F.when(
+        prec + rec > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(0.0)
+    return row.select(
+        F.coalesce(F.col("tp"), F.lit(0.0)).cast("long").alias("tp_pairs"),
+        F.coalesce(F.col("p"), F.lit(0.0)).cast("long").alias("pred_pairs"),
+        F.coalesce(F.col("t"), F.lit(0.0)).cast("long").alias("true_pairs"),
+        F.round(prec, 6).alias("precision6"),
+        F.round(rec, 6).alias("recall6"),
+        F.round(f1, 6).alias("f16"),
+    )

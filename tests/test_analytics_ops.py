@@ -266,3 +266,45 @@ def test_profile_table_empty_cols(spark):
 
     with pytest.raises(ValueError):
         profile_table(spark.createDataFrame([], "struct<>"))
+
+
+def test_pairwise_cluster_metrics_hand_computed(spark):
+    from entity_resolution__spark.operators.evaluate import (
+        pairwise_cluster_metrics,
+    )
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 2)], "node string, cluster long"
+    )
+    truth = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y"), ("d", "y")],
+        "node string, label string",
+    )
+    r = pairwise_cluster_metrics(pred, truth).collect()[0]
+    # TP=1 (a,b); pred pairs=C(3,2)=3; true pairs=1+1=2
+    assert (r["tp_pairs"], r["pred_pairs"], r["true_pairs"]) == (1, 3, 2)
+    assert r["precision6"] == pytest.approx(1 / 3, abs=1e-6)
+    assert r["recall6"] == 0.5
+    assert r["f16"] == 0.4
+
+
+def test_pairwise_cluster_metrics_perfect_and_disjoint(spark):
+    from entity_resolution__spark.operators.evaluate import (
+        pairwise_cluster_metrics,
+    )
+
+    pred = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2)], "node string, cluster long"
+    )
+    same = spark.createDataFrame(
+        [("a", "u"), ("b", "u"), ("c", "v")], "node string, label string"
+    )
+    r = pairwise_cluster_metrics(pred, same).collect()[0]
+    assert (r["precision6"], r["recall6"], r["f16"]) == (1.0, 1.0, 1.0)
+    # no common nodes -> all zeros, no nulls/NaN
+    other = spark.createDataFrame(
+        [("zz", "u")], "node string, label string"
+    )
+    r0 = pairwise_cluster_metrics(pred, other).collect()[0]
+    assert (r0["tp_pairs"], r0["pred_pairs"], r0["true_pairs"]) == (0, 0, 0)
+    assert (r0["precision6"], r0["recall6"], r0["f16"]) == (0.0, 0.0, 0.0)
