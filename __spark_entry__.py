@@ -1076,6 +1076,53 @@ def q_regional_revenue(spark, sf):
     )
 
 
+def q_corpus_curation(spark, sf):
+    """Composed curation funnel (round 6): the training-data operators
+    chained the way a real corpus pipeline runs them — per doc (corpus
+    split only, md5 bucket ≥ 5): quality_gate keep × exact-dedup
+    canonical (min doc_id per md5(text)) × not-contaminated (shares no
+    distinct word 4-gram with the bucket<5 eval split) → final kept
+    flag. One row per corpus doc with every stage flag, so the funnel
+    is auditable (which stage killed a doc), not just a filtered count.
+    Each stage keeps its own scale shape (cascaded narrow projections;
+    dedup keyed on digest; eval shingles broadcast)."""
+    from entity_resolution__spark.operators.dedup import exact_dedup
+    from entity_resolution__spark.operators.scrub import (
+        decontaminate,
+        hash_bucket,
+        quality_gate,
+    )
+
+    docs = _t(spark, sf, "documents")
+    bk = hash_bucket(F.col("doc_id"), 100)
+    corpus = docs.filter(bk >= 5)
+    qg = quality_gate(docs).select("doc_id", F.col("keep").alias("q_keep"))
+    keep_ids = exact_dedup(docs).select(
+        F.col("keep_id").alias("doc_id"), F.lit(True).alias("is_canonical")
+    )
+    cont = decontaminate(corpus, docs.filter(bk < 5), n=4, min_hits=1).select(
+        "doc_id", "contaminated"
+    )
+    out = (
+        corpus.select("doc_id")
+        .join(qg, "doc_id")
+        .join(keep_ids, "doc_id", "left")
+        .join(cont, "doc_id")
+        .select(
+            "doc_id",
+            "q_keep",
+            F.coalesce(F.col("is_canonical"), F.lit(False)).alias(
+                "is_canonical"
+            ),
+            "contaminated",
+        )
+    )
+    return out.withColumn(
+        "kept",
+        F.col("q_keep") & F.col("is_canonical") & ~F.col("contaminated"),
+    )
+
+
 def q_kmeans_f1(spark, sf):
     """Pairwise-F1 clustering evaluation WITHOUT pair materialization
     (round 6) — the north-rule acceptance metric (pairwise F1 vs
@@ -1208,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "table_profile": q_table_profile,
         "kmeans_f1": q_kmeans_f1,
+        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -2526,6 +2574,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
                    round(coalesce(-per.lp / per.n, 0.0), 6) AS nll6
             FROM toks t LEFT JOIN per USING (doc_id)
+        """,
+        # corpus_curation (round 6): the quality_gate CTE chain + the
+        # exact-dedup keeper + the contamination check composed into
+        # one auditable funnel over the corpus split (bk >= 5)
+        "corpus_curation": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS l,
+                     len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                     length(text) AS chars, md5(text) AS digest,
+                     (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                      )::BIGINT % 100) AS bk
+              FROM documents
+            ), sig AS (
+              SELECT doc_id, len(l) AS q_tokens,
+                     round(len(list_filter(l, x -> list_contains(
+                       ['the','and','of','to','in','is','that','it','for','was'], x)
+                     ))::DOUBLE / greatest(len(l), 1), 6) AS q_stopword_ratio,
+                     round(n_punct::DOUBLE / greatest(chars, 1), 6) AS q_punct_ratio
+              FROM t
+            ), grams AS (
+              SELECT doc_id, g
+              FROM t,
+                   unnest(list_transform(range(1, len(l) - 2 + 2),
+                          i -> array_to_string(l[i:i+1], ' '))) AS u(g)
+              WHERE len(l) >= 2
+            ), gc AS (
+              SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+            ), ga AS (
+              SELECT doc_id, sum(c) AS total, max(c) AS top, count(*) AS nd
+              FROM gc GROUP BY 1
+            ), rep AS (
+              SELECT s.doc_id, s.q_tokens, s.q_stopword_ratio, s.q_punct_ratio,
+                     round(coalesce(ga.top::DOUBLE / ga.total, 0.0), 6)
+                       AS top_ngram_frac,
+                     round(coalesce(1.0 - ga.nd::DOUBLE / ga.total, 0.0), 6)
+                       AS dup_ngram_frac
+              FROM sig s LEFT JOIN ga USING (doc_id)
+            ), gated AS (
+              SELECT doc_id, concat_ws(',',
+                CASE WHEN q_tokens < 10 THEN 'too_short' END,
+                CASE WHEN q_tokens > 5000 THEN 'too_long' END,
+                CASE WHEN q_stopword_ratio < 0.01 THEN 'low_stopword' END,
+                CASE WHEN q_punct_ratio > 0.30 THEN 'high_punct' END,
+                CASE WHEN top_ngram_frac > 0.10 THEN 'top_ngram_heavy' END,
+                CASE WHEN dup_ngram_frac > 0.09 THEN 'dup_ngram_heavy' END
+              ) = '' AS q_keep FROM rep
+            ), keepers AS (
+              SELECT min(doc_id) AS doc_id FROM t GROUP BY digest
+            ), ev AS (
+              SELECT DISTINCT g
+              FROM t,
+                   unnest(list_transform(range(1, len(l) - 4 + 2),
+                          i -> array_to_string(l[i:i+3], ' '))) AS u(g)
+              WHERE bk < 5 AND len(l) >= 4
+            ), cg AS (
+              SELECT DISTINCT doc_id, g
+              FROM t,
+                   unnest(list_transform(range(1, len(l) - 4 + 2),
+                          i -> array_to_string(l[i:i+3], ' '))) AS u(g)
+              WHERE bk >= 5 AND len(l) >= 4
+            ), hits AS (
+              SELECT DISTINCT doc_id FROM cg JOIN ev USING (g)
+            )
+            SELECT c.doc_id, g.q_keep,
+                   (k.doc_id IS NOT NULL) AS is_canonical,
+                   (h.doc_id IS NOT NULL) AS contaminated,
+                   (g.q_keep AND k.doc_id IS NOT NULL
+                    AND h.doc_id IS NULL) AS kept
+            FROM (SELECT doc_id FROM t WHERE bk >= 5) c
+            JOIN gated g USING (doc_id)
+            LEFT JOIN keepers k USING (doc_id)
+            LEFT JOIN hits h USING (doc_id)
         """,
         # kmeans_f1 (round 6): the same unrolled kmeans CTEs feed the
         # contingency-table pairwise metric; every count is an exact
