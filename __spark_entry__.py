@@ -1076,6 +1076,22 @@ def q_regional_revenue(spark, sf):
     )
 
 
+def q_graph_kcore(spark, sf):
+    """3-core of the SimHash near-dup graph (round 6): the density
+    screen separating tight dup communities from hairballs of weak
+    links. Iterative peel with a UNIQUE, order-independent fixpoint —
+    so although the loop is not ANSI-expressible in general, peeling is
+    IDEMPOTENT once converged, and the oracle simply unrolls 10 rounds
+    (measured depth: 3 at sf0.01 AND sf0.1; extra rounds are no-ops),
+    making this iterative operator hash-exact rather than rows-only."""
+    from entity_resolution__spark.operators.graph_algos import k_core
+
+    edges = q_simhash_neardup(spark, sf).select(
+        F.col("id_left").alias("src"), F.col("id_right").alias("dst")
+    )
+    return k_core(edges, k=3)
+
+
 def q_corpus_curation(spark, sf):
     """Composed curation funnel (round 6): the training-data operators
     chained the way a real corpus pipeline runs them — per doc (corpus
@@ -1256,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "kmeans_f1": q_kmeans_f1,
         "corpus_curation": q_corpus_curation,
+        "graph_kcore": q_graph_kcore,
     }
 
 
@@ -1473,6 +1490,55 @@ def oracle_sql() -> dict[str, str]:
               FROM c{_i} c LEFT JOIN m{_i} m USING (cid))"""
         )
     kmeans_cte = ",\n".join(_km_parts)
+    # graph_kcore: the simhash near-dup band join (same SQL as the
+    # simhash_neardup oracle) feeding a 10-round unrolled peel —
+    # peeling is idempotent at the fixpoint, so 10 ≥ the measured
+    # depth (3 at sf0.01 and sf0.1) reproduces the unique 3-core
+    _kc_rounds, _kc_k = 10, 3
+    _kc_parts = [
+        f"""{_SIMHASH_CTE}, ub AS (
+              SELECT doc_id, simhash,
+                     ('0x' || simhash)::UBIGINT AS s
+              FROM sh
+            ), bands AS (
+              SELECT doc_id, s, i,
+                     substring(simhash, 1 + 4 * i, 4) AS bv
+              FROM ub CROSS JOIN (SELECT unnest(range(0, 4)) AS i) bi
+            ), sized AS (
+              SELECT *, count(*) OVER (PARTITION BY i, bv) AS bsz
+              FROM bands
+            ), keepb AS (
+              SELECT * FROM sized WHERE bsz <= 4096
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS id_left, r.doc_id AS id_right,
+                              l.s AS sl, r.s AS sr
+              FROM keepb l
+              JOIN keepb r ON l.i = r.i AND l.bv = r.bv
+                          AND l.doc_id < r.doc_id
+            ), e0 AS MATERIALIZED (
+              SELECT id_left AS u, id_right AS v FROM cand
+              WHERE bit_count(xor(sl, sr)) <= 3
+            )"""
+    ]
+    for _i in range(_kc_rounds + 1):
+        _kc_parts.append(
+            f"""d{_i} AS MATERIALIZED (
+              SELECT node, count(*) AS degree FROM (
+                SELECT u AS node FROM e{_i}
+                UNION ALL SELECT v AS node FROM e{_i}) t
+              GROUP BY 1)"""
+        )
+        if _i == _kc_rounds:
+            break
+        _kc_parts.append(
+            f"""g{_i} AS MATERIALIZED (
+              SELECT node FROM d{_i} WHERE degree >= {_kc_k}),
+            e{_i + 1} AS MATERIALIZED (
+              SELECT u, v FROM e{_i}
+              WHERE u IN (SELECT node FROM g{_i})
+                AND v IN (SELECT node FROM g{_i}))"""
+        )
+    kcore_cte = ",\n".join(_kc_parts)
     return {
         "tokenize_stats": f"""
             SELECT doc_id,
@@ -2574,6 +2640,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
                    round(coalesce(-per.lp / per.n, 0.0), 6) AS nll6
             FROM toks t LEFT JOIN per USING (doc_id)
+        """,
+        # graph_kcore (round 6): unrolled idempotent peel (kcore_cte)
+        "graph_kcore": f"""
+            WITH {kcore_cte}
+            SELECT node, degree FROM d{_kc_rounds}
         """,
         # corpus_curation (round 6): the quality_gate CTE chain + the
         # exact-dedup keeper + the contamination check composed into

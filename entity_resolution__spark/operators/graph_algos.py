@@ -217,3 +217,56 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             "node", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
         )
     )
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+    """Nodes of the k-core: the (unique) maximal subgraph where every
+    node has degree ≥ k — the standard graph-density screen ("is this
+    dup cluster a tight community or a hairball of weak links").
+    Iterative peel: drop all nodes with current degree < k, recompute,
+    until fixpoint. The fixpoint is ORDER-INDEPENDENT (the k-core is
+    unique), so the result is deterministic on any engine/partitioning
+    even though the algorithm is iterative — semantics pinned by an
+    exact python-replica pytest rather than a SQL oracle (unbounded
+    iteration is not ANSI-expressible; same class as Louvain).
+
+    Scale shape per round: one degree aggregate (map-side combined,
+    keyed on node) + two left_semi/anti prunes of the edge table keyed
+    on endpoint — all hash exchanges on node ids; peeling depth is the
+    degeneracy ordering's layer count (small for power-law graphs, cf.
+    Batagelj-Zaversnik; each round strictly shrinks the edge set).
+    Lineage cut per round (localCheckpoint locally; a StageStore
+    parquet commit on a cluster — same idiom as the CC loop).
+
+    Returns (node, degree) of the surviving core (empty if none).
+    """
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    cur = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionByName(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .localCheckpoint(eager=True)
+        )
+        bad = deg.filter(F.col("degree") < k)
+        if bad.isEmpty():
+            return deg
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if cur.isEmpty():
+            return deg.filter(F.lit(False))
+    raise RuntimeError(f"k_core: no fixpoint within {max_iter} rounds")
