@@ -664,6 +664,15 @@ def main() -> None:
         # in, re-measure once and keep the better wall — best-of with
         # every rep recorded, not silent cherry-picking.
         reps = []
+        # retries must start from the SAME cache state as rep 1: the
+        # shared neardup pair table (entrymod._NEARDUP_CACHE) is built
+        # by whichever query touches it first, and a retry that reuses
+        # rep 1's localCheckpoint measures the cache, not the query
+        # (observed: 9.81 s diluted rep, 0.027 s "retry" — an artifact,
+        # not a wall). Keys added during a rep are dropped before the
+        # next one; keys that existed BEFORE rep 1 (an earlier HEADLINE
+        # query legitimately paid for them) stay.
+        pre_keys = set(getattr(entrymod, "_NEARDUP_CACHE", {}))
         for _attempt in range(2):
             p0 = _cpu_speed_probe()
             t0 = time.monotonic()
@@ -674,6 +683,9 @@ def main() -> None:
             )
             if p0 <= 1.4 * PROBE_REF_SEC:
                 break
+            cache = getattr(entrymod, "_NEARDUP_CACHE", {})
+            for k in set(cache) - pre_keys:
+                del cache[k]
         best_rep = min(reps, key=lambda r: r["wall"])
         results[name] = best_rep["wall"]
         query_probe[name] = best_rep["probe_sec"]

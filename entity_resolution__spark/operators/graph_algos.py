@@ -65,6 +65,8 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     weighted: bool = True,
+    start_ranks: DataFrame | None = None,
+    on_iteration=None,
 ) -> DataFrame:
     """Directed (src, dst[, weight]) → (node, rank) after a FIXED
     number of power iterations from the uniform vector — fixed (not
@@ -85,6 +87,14 @@ def pagerank(
     iteration to keep the plan O(1) deep — on a cluster this boundary
     is a StageStore parquet commit (plans/checkpoint.py), same idiom
     as the CC loop's per-iteration snapshots.
+
+    Resumability (north_rule): ``on_iteration(i, ranks_df)`` fires
+    after every iteration (the checkpointing layer commits the rank
+    snapshot there, exactly like the CC loop's callback), and
+    ``start_ranks`` — a committed (node, rank) snapshot — replaces the
+    uniform init so a killed run continues from its last committed
+    iteration: pagerank(e, iterations=K−j, start_ranks=snapshot_j) ==
+    iterations j..K of the original run (pinned by pytest).
     """
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
@@ -120,9 +130,12 @@ def pagerank(
     ).localCheckpoint(eager=True)
     has_dangling = not dangling.isEmpty()
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    if start_ranks is not None:
+        ranks = start_ranks.select("node", "rank")
+    else:
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
-    for _ in range(iterations):
+    for _it in range(1, iterations + 1):
         d_mass = 0.0
         if has_dangling:
             # one small aggregate per iteration; the dangling set is a
@@ -150,6 +163,8 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        if on_iteration is not None:
+            on_iteration(_it, ranks)
     return ranks
 
 
@@ -219,7 +234,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 100,
+    start_edges: DataFrame | None = None,
+    on_iteration=None,
+) -> DataFrame:
     """Nodes of the k-core: the (unique) maximal subgraph where every
     node has degree ≥ k — the standard graph-density screen ("is this
     dup cluster a tight community or a hairball of weak links").
@@ -238,19 +259,31 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
     Lineage cut per round (localCheckpoint locally; a StageStore
     parquet commit on a cluster — same idiom as the CC loop).
 
+    Resumability (north_rule): ``on_iteration(i, edges_df)`` fires
+    after each peel round with the surviving canonical edge set (the
+    checkpointing layer commits it there); ``start_edges`` — such a
+    committed (u, v) snapshot — skips canonicalization and continues
+    the peel from it. Because peeling is idempotent and
+    order-independent, resume-from-round-j equals the uninterrupted
+    run exactly (pinned by pytest).
+
     Returns (node, degree) of the surviving core (empty if none).
     """
     if k < 1:
         raise ValueError(f"k_core: k must be >= 1, got {k}")
-    cur = (
-        edges.select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    if start_edges is not None:
+        cur = start_edges.select("u", "v").localCheckpoint(eager=True)
+    else:
+        cur = (
+            edges.select(
+                F.least("src", "dst").alias("u"),
+                F.greatest("src", "dst").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
         )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
+    for _it in range(1, max_iter + 1):
         deg = (
             cur.select(F.col("u").alias("node"))
             .unionByName(cur.select(F.col("v").alias("node")))
@@ -267,6 +300,8 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 100) -> DataFrame:
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
+        if on_iteration is not None:
+            on_iteration(_it, cur)
         if cur.isEmpty():
             return deg.filter(F.lit(False))
     raise RuntimeError(f"k_core: no fixpoint within {max_iter} rounds")
