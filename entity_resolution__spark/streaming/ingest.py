@@ -247,3 +247,20 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join — the stateless Structured
+    Streaming join shape (stream joined to a batch dim per microbatch):
+    the dim is explicitly broadcast so each microbatch is a map-only
+    enrichment with NO streaming state and no stream-side shuffle, and
+    the static side is re-resolved per trigger, so slowly-changing dims
+    (the usual user/cohort table) are picked up without restarting the
+    query. At 10¹²-event scale this is the only join shape that adds
+    zero state-store pressure."""
+    return stream.join(F.broadcast(dim), on, how)

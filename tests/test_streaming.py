@@ -398,3 +398,47 @@ def test_windowed_event_counts_emission_and_late_drop(spark, tmp_path):
     # hour-12 window; the late click is dropped (hour 10 never
     # re-emits) and hour 13 is held open
     assert got_b == sorted(got_a + [(12, "view", 1)])
+
+
+def test_enrich_stream_static_broadcast(spark, tmp_path):
+    """Stream-static join: events enrich against a batch dim per
+    microbatch, left-preserving unmatched rows; no watermark, no state."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from entity_resolution__spark.streaming.ingest import enrich_stream
+
+    src = str(tmp_path / "ev_enr")
+    pdf = pd.DataFrame(
+        [(1, 10, "click"), (2, 20, "view"), (3, 99, "click")],
+        columns=["event_id", "user_id", "event_type"],
+    )
+    pdf["ts"] = pd.Timestamp(dt.datetime(2026, 1, 1)).as_unit("us")
+    spark.createDataFrame(
+        pdf, schema="event_id long, user_id long, event_type string, ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    dim = spark.createDataFrame(
+        [(10, "free"), (20, "pro")], "user_id long, segment string"
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("event_id long, user_id long, event_type string, ts timestamp")
+        .load(src)
+    )
+    q = (
+        enrich_stream(stream, dim, on="user_id")
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: r["segment"]
+        for r in spark.sql("select * from enrich_test").collect()
+    }
+    assert got == {1: "free", 2: "pro", 3: None}
