@@ -1076,6 +1076,57 @@ def q_regional_revenue(spark, sf):
     )
 
 
+def q_events_pivot(spark, sf):
+    """Cross-tab / pivot (round 6): daily event counts pivoted into one
+    column per event type — DataFrame `pivot()` with an EXPLICIT value
+    list, which compiles to a single partial-aggregated hash aggregate
+    (no second pass to discover the pivot domain, and deterministic
+    column order — both essential at 100 TB)."""
+    e = _t(spark, sf, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    )
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        e.groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+    )
+
+
+def q_decayed_counts(spark, sf):
+    """Exponentially-decayed per-user engagement score (round 6): the
+    recency-weighted feature a training pipeline derives from an event
+    log — score(u) = Σ_events 2^(−Δdays/half_life) as of the stream's
+    max ts (data-derived, so the query is reproducible, no wall clock).
+    ONE aggregate keyed on user_id: the decay weight is computed per
+    row from integer microsecond deltas (exact on both engines) and
+    partial-aggregated map-side; no window, no state."""
+    e = _t(spark, sf, "events")
+    # exact integer micros for the anchor (a float .timestamp() round
+    # trip could be 1 us off vs the oracle's epoch_us)
+    tmax_us = F.lit(
+        e.agg(
+            F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+        ).collect()[0][0]
+    ).cast("long")
+    dt_days = (
+        (tmax_us - F.unix_micros(F.col("ts").cast("timestamp"))).cast("double")
+        / F.lit(86_400_000_000.0)
+    )
+    half_life = 7.0
+    w = F.pow(F.lit(2.0), -dt_days / F.lit(half_life))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.round(F.sum(w), 6).alias("decayed_score"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 def q_graph_kcore(spark, sf):
     """3-core of the SimHash near-dup graph (round 6): the density
     screen separating tight dup communities from hairballs of weak
@@ -1273,6 +1324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_f1": q_kmeans_f1,
         "corpus_curation": q_corpus_curation,
         "graph_kcore": q_graph_kcore,
+        "events_pivot": q_events_pivot,
+        "decayed_counts": q_decayed_counts,
     }
 
 
@@ -2640,6 +2693,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, len(t.l)::BIGINT AS n_tokens,
                    round(coalesce(-per.lp / per.n, 0.0), 6) AS nll6
             FROM toks t LEFT JOIN per USING (doc_id)
+        """,
+        # events_pivot (round 6): explicit-domain pivot == one
+        # conditional aggregate per type
+        "events_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+                   count(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+                   count(*) FILTER (event_type = 'purchase')::BIGINT AS n_purchase,
+                   count(*) FILTER (event_type = 'signup')::BIGINT AS n_signup,
+                   count(*) FILTER (event_type = 'error')::BIGINT AS n_error
+            FROM events GROUP BY 1
+        """,
+        # decayed_counts (round 6): same anchor (max ts), same integer
+        # microsecond deltas, same operation association; pow/sum ulp
+        # noise absorbed by round-6
+        "decayed_counts": """
+            WITH m AS (SELECT max(epoch_us(ts)) AS t FROM events)
+            SELECT user_id,
+                   round(sum(pow(2.0,
+                     -(((SELECT t FROM m) - epoch_us(ts))::DOUBLE
+                        / 86400000000.0) / 7.0)), 6) AS decayed_score,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1
         """,
         # graph_kcore (round 6): unrolled idempotent peel (kcore_cte)
         "graph_kcore": f"""
