@@ -29,6 +29,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str, *key_cols: str) -> DataFrame:
+    """_t + adaptive scan spread (operators/scanspread.py): the testdata
+    parquets are single-row-group files that scan as ONE task, so text-
+    heavy projections planned into the scan run serially; spreading the
+    raw rows first parallelizes them. No-op when the scan already has
+    enough splits, so plans are unchanged on properly-split tables."""
+    from entity_resolution__spark.operators.scanspread import spread_scan
+
+    return spread_scan(_t(spark, sf_dir, name), *key_cols)
+
+
 def _toks(col):
     return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
 
@@ -132,7 +143,7 @@ def q_exact_dedup(spark, sf):
 def q_minhash_signature(spark, sf):
     from entity_resolution__spark.operators.dedup import minhash_md5
 
-    d = _t(spark, sf, "documents")
+    d = _ts(spark, sf, "documents", "doc_id")
     toks = _toks(F.col("text"))
     return d.select(
         "doc_id",
@@ -205,7 +216,7 @@ def q_minhash_buckets(spark, sf):
 def q_lang_quality(spark, sf):
     from entity_resolution__spark.operators.textstats import lang_id, quality_features
 
-    d = quality_features(_t(spark, sf, "documents").select("doc_id", "text"))
+    d = quality_features(_ts(spark, sf, "documents", "doc_id").select("doc_id", "text"))
     return d.select(
         "doc_id",
         lang_id(F.col("text")).alias("lang_pred"),
@@ -872,7 +883,7 @@ def q_quality_gate(spark, sf):
     fixed rule-table order so the string hashes identically."""
     from entity_resolution__spark.operators.scrub import quality_gate
 
-    return quality_gate(_t(spark, sf, "documents"))
+    return quality_gate(_ts(spark, sf, "documents", "doc_id"))
 
 
 def q_contamination(spark, sf):
@@ -886,7 +897,7 @@ def q_contamination(spark, sf):
         hash_bucket,
     )
 
-    docs = _t(spark, sf, "documents")
+    docs = _ts(spark, sf, "documents", "doc_id")
     bk = hash_bucket(F.col("doc_id"), 100)
     return decontaminate(
         docs.filter(bk >= 5), docs.filter(bk < 5), n=4, min_hits=1
@@ -902,7 +913,7 @@ def q_kmv_distinct(spark, sf):
     from entity_resolution__spark.operators.dedup import ngram_shingles
     from entity_resolution__spark.operators.scrub import kmv_distinct
 
-    grams = _t(spark, sf, "documents").select(
+    grams = _ts(spark, sf, "documents", "doc_id").select(
         "lang", F.explode(ngram_shingles(F.col("text"), 3)).alias("value")
     )
     km = kmv_distinct(grams, value_col="value", group_col="lang", k=64)
@@ -1160,7 +1171,7 @@ def q_corpus_curation(spark, sf):
         quality_gate,
     )
 
-    docs = _t(spark, sf, "documents")
+    docs = _ts(spark, sf, "documents", "doc_id")
     bk = hash_bucket(F.col("doc_id"), 100)
     corpus = docs.filter(bk >= 5)
     qg = quality_gate(docs).select("doc_id", F.col("keep").alias("q_keep"))

@@ -23,14 +23,28 @@ _TOKEN_RE = r"[a-z0-9]+"
 
 
 def normalize_series(s: pd.Series) -> pd.Series:
-    """lower → NFKD → drop combining marks. Vectorized on the batch."""
+    """lower → NFKD → drop combining marks. Vectorized on the batch.
+
+    ASCII rows (the overwhelming majority of real corpora) are NFKD
+    fixpoints with no combining marks, so the per-CHARACTER Python
+    generator below is pure waste for them — it was the conversations
+    stage's hot spot (the generator touches every character of every
+    full_text). One vectorized regex finds the rows that can fold;
+    only those pay the per-char path. Identical output by definition:
+    NFKD is the identity on ASCII and ASCII has no combining marks.
+    """
     s = s.fillna("").astype(str).str.lower()
-    # NFKD+strip is per-string but C-speed; normalize() has no Series form.
-    return s.map(
+    mask = s.str.contains(r"[^\x00-\x7f]", regex=True).to_numpy()
+    if not mask.any():
+        return s
+    slow = s[mask].map(
         lambda x: "".join(
             ch for ch in unicodedata.normalize("NFKD", x) if not unicodedata.combining(ch)
         )
     )
+    s = s.copy()
+    s[mask] = slow
+    return s
 
 
 def tokenize_series(s: pd.Series) -> pd.Series:

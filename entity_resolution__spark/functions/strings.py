@@ -391,6 +391,21 @@ def _probe_rapidfuzz():
 
 _RF = _probe_rapidfuzz()
 
+# Compiled-C fallback tier (round 7): when rapidfuzz is absent, compile
+# the two hot kernels (jaro-winkler + bit-parallel LCS) with the system
+# gcc and certify them on the same parity battery — see
+# functions/ckernels.py. Pure python remains the oracle and the
+# unconditional fallback; SPARK_GRAFT_PURE_KERNELS=1 disables both
+# accelerated tiers.
+_CK = None
+if _RF is None:
+    try:
+        from entity_resolution__spark.functions import ckernels as _ckmod
+
+        _CK = _ckmod.load()
+    except Exception:
+        _CK = None
+
 
 # ---------------------------------------------------------------------------
 # batch (Series) forms — shared by pandas UDFs and the test oracle
@@ -426,6 +441,17 @@ def edit_ratio_series(a: pd.Series, b: pd.Series) -> pd.Series:
                 workers=1,
             )
         )
+    if _CK is not None and len(a):
+        av = a.fillna("").astype(str).to_numpy()
+        bv = b.fillna("").astype(str).to_numpy()
+        n = len(av)
+        lcs = _CK.lcs_batch(av, bv).astype(np.float64)
+        la = np.fromiter((len(x) for x in av), dtype=np.int64, count=n)
+        lb = np.fromiter((len(x) for x in bv), dtype=np.int64, count=n)
+        tot = la + lb
+        return pd.Series(
+            np.where(tot == 0, 1.0, 2.0 * lcs / np.maximum(tot, 1))
+        )
     return pair_series(edit_ratio, a, b)
 
 
@@ -445,12 +471,17 @@ def indel_and_lcs_series(
     av = a.fillna("").astype(str).to_numpy()
     bv = b.fillna("").astype(str).to_numpy()
     n = len(av)
-    if _RF is not None and n:
-        # one C-side LCSseq pass; both ratios are numpy arithmetic over
-        # the integer LCS lengths (identical formulas to the loop below)
-        lcs = _RF["process"].cpdist(
-            av, bv, scorer=_RF["LCSseq"].similarity, dtype=np.int64, workers=1
-        ).astype(np.float64)
+    if (_RF is not None or _CK is not None) and n:
+        # one C-side LCS pass (rapidfuzz or the compiled ckernels tier);
+        # both ratios are numpy arithmetic over the integer LCS lengths
+        # (identical formulas to the loop below)
+        if _RF is not None:
+            lcs = _RF["process"].cpdist(
+                av, bv, scorer=_RF["LCSseq"].similarity, dtype=np.int64,
+                workers=1,
+            ).astype(np.float64)
+        else:
+            lcs = _CK.lcs_batch(av, bv).astype(np.float64)
         la = np.fromiter((len(x) for x in av), dtype=np.int64, count=n)
         lb = np.fromiter((len(x) for x in bv), dtype=np.int64, count=n)
         tot = la + lb
@@ -487,6 +518,10 @@ def jaro_winkler_series(a: pd.Series, b: pd.Series) -> pd.Series:
                 workers=1,
             )
         )
+    if _CK is not None and len(a):
+        av = a.fillna("").astype(str).to_numpy()
+        bv = b.fillna("").astype(str).to_numpy()
+        return pd.Series(_CK.jw_batch(av, bv))
     return pair_series(jaro_winkler, a, b)
 
 

@@ -306,7 +306,10 @@ def make_minhash_udf(num_perm: int = 32, qgram: int = 4, seed: int = 7):
                 shingles = {t[i : i + qgram] for i in range(len(t) - qgram + 1)}
             # pd.util.hash_array: deterministic 64-bit hashing (fixed-key
             # siphash), vectorized — immune to PYTHONHASHSEED randomization.
-            hv = pd.util.hash_array(np.array(sorted(shingles), dtype=object))
+            # No sort: the signature is a per-permutation MIN, which is
+            # order-independent, and the O(S log S) python string sort per
+            # row was a measurable share of the blocks stage.
+            hv = pd.util.hash_array(np.array(list(shingles), dtype=object))
             # sig[j] = min_i (a[j]*h[i] + b[j] mod p): (P, n) broadcast in numpy
             prod = (hv[None, :] * a[:, None] + b[:, None]) % _MERSENNE
             out.append(prod.min(axis=1).astype(np.int64))

@@ -314,18 +314,33 @@ def ngram_jaccard_pairs(
             lambda s: F.substring(F.md5(s), 1, 12),
         )
     )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        shingle_key.alias("sh"),
-    ).filter(F.size("sh") > 0)
-    # spread a small single-file scan across all cores, then MATERIALIZE
-    # the shingle table once: five plan branches consume it (signature,
-    # band join l/r, payload join l/r) and would each re-run the
-    # extraction otherwise. On a cluster this boundary is a staged table
-    # (plans.checkpoint.StageStore); localCheckpoint is the local analog.
-    base = base.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "id"
-    ).localCheckpoint(eager=True)
+    # repartition the RAW (id, text) rows BEFORE the shingle projection:
+    # a single-row-group parquet file scans as ONE task, and the
+    # tokenize + n-gram + md5 expression is the heavy part — projected
+    # before the exchange it runs serially in that one scan task
+    # (guide §2.5 input skew; observed on the sf0.1 single-file layout).
+    # After the exchange the extraction parallelizes across all cores.
+    # Then MATERIALIZE the shingle table once: five plan branches
+    # consume it (signature, band join l/r, payload join l/r) and would
+    # each re-run the extraction otherwise. On a cluster this boundary
+    # is a staged table (plans.checkpoint.StageStore); localCheckpoint
+    # is the local analog.
+    base = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+        .select("id", shingle_key.alias("sh"))
+        .filter(F.size("sh") > 0)
+        # long-decoded copy of the 12-hex keys for the rerank:
+        # array_intersect over bigints is ~2x faster than over strings
+        # (no per-element string hash/equality), and hex→long is a
+        # bijection so |A∩B| — hence jaccard — is unchanged. `sh` stays
+        # the string form the minhash/banding (and the DuckDB oracle)
+        # are defined over.
+        .withColumn(
+            "shl", F.expr("transform(sh, s -> cast(conv(s, 16, 10) as bigint))")
+        )
+        .localCheckpoint(eager=True)
+    )
     if block is not None:
         keyed = df.select(F.col(id_col).alias("id"), block.alias("bk")).filter(
             F.col("bk").isNotNull()
@@ -376,18 +391,26 @@ def ngram_jaccard_pairs(
     # oracle is unchanged: same jaccard values to the same rounding.
     sl = base.select(
         F.col("id").alias("id_left"),
-        F.col("sh").alias("sh_l"),
-        F.size("sh").alias("_n_l"),
+        F.col("shl").alias("sh_l"),
+        F.size("shl").alias("_n_l"),
     )
     sr = base.select(
         F.col("id").alias("id_right"),
-        F.col("sh").alias("sh_r"),
-        F.size("sh").alias("_n_r"),
+        F.col("shl").alias("sh_r"),
+        F.size("shl").alias("_n_r"),
     )
     pairs = cand.join(sl, "id_left").join(sr, "id_right")
     inter = F.size(F.array_intersect("sh_l", "sh_r")).cast("double")
     union = (F.col("_n_l") + F.col("_n_r")).cast("double") - inter
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # no zero-guard needed: both sides passed size(sh) > 0, so
+    # union >= max(n_l, n_r) >= 1. This matters for speed, not just
+    # tidiness — the threshold filter below collapses into the join
+    # condition (Catalyst substitutes the projected alias and does not
+    # CSE it), so every term referencing `inter` is RE-EVALUATED per
+    # candidate; the dead when() branch made it 3 array_intersect
+    # evaluations per pair instead of 2 (measured 4.9 s → 2.1 s on the
+    # sf0.1 rerank leg together with the long-key arrays above).
+    jac = inter / union
     return pairs.select(
         "id_left",
         "id_right",

@@ -125,10 +125,16 @@ def pagerank(
         .repartition("src")
         .localCheckpoint(eager=True)
     )
-    dangling = nodes.join(
-        outw.select(F.col("src").alias("node")), "node", "left_anti"
-    ).localCheckpoint(eager=True)
-    has_dangling = not dangling.isEmpty()
+    # dangling detection from counts: #distinct sources < #nodes.
+    # Cheaper than materializing the anti-join + isEmpty (two jobs) when
+    # the graph has none — the common case for symmetrized inputs.
+    n_src = shares.agg(F.countDistinct("src")).collect()[0][0]
+    has_dangling = int(n_src) < n
+    dangling = None
+    if has_dangling:
+        dangling = nodes.join(
+            outw.select(F.col("src").alias("node")), "node", "left_anti"
+        ).localCheckpoint(eager=True)
 
     if start_ranks is not None:
         ranks = start_ranks.select("node", "rank")
@@ -151,18 +157,26 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("share") * F.col("rank")).alias("inflow"))
         )
-        ranks = (
-            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(d_mass / n))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(
+            contribs.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(d_mass / n))
+            ).alias("rank"),
         )
+        # Materialize the iteration boundary only when something actually
+        # needs it NOW: the snapshot callback, or next iteration's
+        # dangling-mass collect (which would otherwise recompute the
+        # whole chain), or lineage bounding every 8 rounds. Without
+        # those, the full power loop stays ONE lazy plan — a single job
+        # with 2 exchanges per iteration instead of an eager
+        # job+checkpoint barrier per round (round-6 VERDICT #3: the 5
+        # barriers, not the exchanges, dominated the sf0.1 wall).
+        if on_iteration is not None or has_dangling or _it % 8 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
         if on_iteration is not None:
             on_iteration(_it, ranks)
     return ranks

@@ -216,11 +216,16 @@ def run_pipeline(
         t0 = _time.monotonic()
         if store is None:
             # no snapshot store: still materialize the stage boundary once
-            # (persist) — conv/scored are referenced by several downstream
-            # branches and must not recompute their UDF work per branch
-            out = compute().persist()
-            if cfg.stage_timing:
-                out.count()
+            # — conv/scored are referenced by several downstream branches
+            # and must not recompute their UDF work per branch. EAGER
+            # localCheckpoint, not persist()+count(): the SQL cache pays a
+            # columnar re-encode of the nested turn/token arrays on write
+            # and a decode per read (measured 0.97-2.2 s materialize +
+            # 0.37 s/3 reads for conversations at the 100k-turn bench
+            # shape vs 0.55-0.69 s + 0.26 s/3 reads for the RDD-block
+            # checkpoint), and count() lets the optimizer prune columns so
+            # it did not even warm every column of the cache (guide §1.4).
+            out = compute().localCheckpoint(eager=True)
         else:
             # fingerprint chains over the input identity and the lineage
             # stages' committed snapshot ids: an upstream recompute (new
