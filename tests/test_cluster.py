@@ -305,3 +305,43 @@ def test_incremental_clusters_merge_and_new_nodes(spark):
         for r in assign_clusters(cc.assignments, nodes).collect()
     }
     assert out == want
+
+
+def test_two_level_forest_prepass_equivalence(spark):
+    """Round-7 two-level CC: the partition-local spanning-star pre-pass
+    (_local_forest_edges) must leave the distributed loop's (node,
+    min-root) result IDENTICAL — for string and for integer node ids —
+    while shrinking per-partition diameter (chain converges in fewer
+    rounds than the plain loop)."""
+    import random as _r
+
+    from entity_resolution__spark.operators.cluster import (
+        _local_forest_edges,
+        connected_components,
+    )
+
+    _r.seed(13)
+    nodes = [f"w{i:03d}" for i in range(150)]
+    edges = [(_r.choice(nodes), _r.choice(nodes)) for _ in range(200)]
+    edges = [(a, b) for a, b in edges if a != b]
+    e = spark.createDataFrame(edges, ["src", "dst"]).repartition(7)
+    plain = connected_components(e, local_threshold=0, local_forest=False)
+    two = connected_components(e, local_threshold=0, local_forest=True)
+    assert {(r["node"], r["root"]) for r in plain.assignments.collect()} == {
+        (r["node"], r["root"]) for r in two.assignments.collect()
+    }
+
+    # integer ids through the Arrow boundary
+    ei = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40)], "src long, dst long"
+    ).repartition(5)
+    two_i = connected_components(ei, local_threshold=0, local_forest=True)
+    rows = {(r["node"], r["root"]) for r in two_i.assignments.collect()}
+    assert rows == {(i, 0) for i in range(41)}
+
+    # the pre-pass output is a connectivity-equivalent star set: no
+    # self rows, never more edges than nodes-1 per component
+    f = _local_forest_edges(ei.filter("src != dst"))
+    frows = f.collect()
+    assert all(r["src"] != r["dst"] for r in frows)
+    assert len(frows) <= 40
