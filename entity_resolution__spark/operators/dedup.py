@@ -457,7 +457,11 @@ def simhash_neardup_pairs(
     hexw = 16 // n_bands
     toks = tokens_col(F.col(text_col))
     base = (
-        df.select(F.col(id_col).alias("id"), simhash64(toks).alias("_s"))
+        # spread the raw rows first: the simhash pandas UDF otherwise
+        # runs in the single scan task of a one-row-group parquet file
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+        .select("id", simhash64(toks).alias("_s"))
         .withColumn("_hex", F.lower(F.lpad(F.hex(F.col("_s")), 16, "0")))
         .localCheckpoint(eager=True)  # kernel once; 3 consumer branches
     )
@@ -534,14 +538,24 @@ def shared_window_pairs(
     """
     from entity_resolution__spark.operators.saltjoin import capped_salted_self_join
 
+    # FULL 128-bit md5 as the window key (round-6 ADVICE: a 64-bit
+    # prefix admits birthday collisions at ~10^12-window scale, which
+    # would emit false pairs the raw-text oracle does not); at any
+    # realistic corpus the full digest is collision-free, so the
+    # 100%-recall/EXACT claim holds end to end. Results at test scale
+    # are identical (no collisions either way); the shuffle key widens
+    # 16→32 hex chars. Raw rows are spread before the window
+    # projection — single-row-group scans run it serially otherwise.
     wins = F.array_distinct(
         F.transform(
             ngram_sequence(F.col(text_col), n=window),
-            lambda s: F.substring(F.md5(s), 1, 16),
+            lambda s: F.md5(s),
         )
     )
     keyed = (
-        df.select(F.col(id_col).alias("id"), wins.alias("wins"))
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+        .select("id", wins.alias("wins"))
         .filter(F.size("wins") > 0)
         .select("id", F.explode("wins").alias("win"))
     )
@@ -598,14 +612,18 @@ def exact_jaccard_join(
 
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"exact_jaccard_join: bad threshold {threshold}")
+    # repartition the raw rows before the shingle projection (same
+    # single-row-group-scan rationale as ngram_jaccard_pairs: the
+    # tokenize + n-gram expression otherwise runs serially in the one
+    # scan task), then materialize — reused by ordering + both verify
+    # legs.
     sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            ngram_shingles(F.col(text_col), n).alias("ts"),
-        )
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, "id")
+        .select("id", ngram_shingles(F.col(text_col), n).alias("ts"))
         .filter(F.size("ts") > 0)
         .withColumn("sz", F.size("ts"))
-        .localCheckpoint(eager=True)  # reused by ordering + both verify legs
+        .localCheckpoint(eager=True)
     )
     ex = sh.select("id", F.explode("ts").alias("g"))
     dfreq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
@@ -653,14 +671,32 @@ def exact_jaccard_join(
     )
     inter = F.size(F.array_intersect("ts_l", "ts_r"))
     jac = inter / (F.col("sz_l") + F.col("sz_r") - inter)
-    return (
+    # ceil over the double product, NOT exact rational arithmetic
+    # (round-6 ADVICE weighed): the DuckDB oracle computes the same
+    # CEIL(threshold * size) in doubles, so parity REQUIRES mirroring
+    # its float semantics — an exact-rational prefix length here would
+    # diverge from the oracle exactly on the ulp cases the advice
+    # worries about. The double rounding is shared, deterministic, and
+    # at worst admits an extra candidate (verified exactly below).
+    size_ok = F.least("sz_l", "sz_r") >= F.ceil(
+        F.lit(float(threshold)) * F.greatest("sz_l", "sz_r")
+    )
+    # materialize (pair, jaccard) BEFORE the threshold filter: pushed
+    # into the join condition the filter re-evaluates the full-text
+    # array_intersect per reference (no CSE across filter+projection —
+    # same pathology measured on ngram_jaccard_pairs' rerank); behind
+    # the barrier the intersect runs exactly once per size-qualified
+    # candidate and the filter reads a materialized column.
+    verified = (
         pairs.join(a, "id_left")
         .join(b, "id_right")
-        .filter(
-            F.least("sz_l", "sz_r")
-            >= F.ceil(F.lit(float(threshold)) * F.greatest("sz_l", "sz_r"))
-        )
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_left", "id_right", F.round("jaccard", 6).alias("jaccard"))
+        .filter(size_ok)
+        .select("id_left", "id_right", jac.alias("_jac_raw"))
+        .localCheckpoint(eager=True)
+    )
+    # threshold compares the RAW jaccard (as before the barrier refactor
+    # — rounding first could admit 0.1999996 at t=0.2); round only for
+    # the output column
+    return verified.filter(F.col("_jac_raw") >= threshold).select(
+        "id_left", "id_right", F.round("_jac_raw", 6).alias("jaccard")
     )

@@ -24,7 +24,16 @@ from pyspark.sql import functions as F
 
 
 def _pairs(n):
-    return (n * (n - F.lit(1))) / F.lit(2)
+    """C(n,2) as an EXACT decimal (round-6 ADVICE): the old
+    (n*(n-1))/2 form overflowed int64 beyond ~3e9-member groups and the
+    double sums lost exactness past 2^53 pairs. Halve the even factor
+    with a shift (no division of the product, no doubles) and multiply
+    as decimal(19,0)x(19,0) → decimal(38,0); the downstream sums stay
+    decimal-exact to ~1e38 total pairs."""
+    even = (n % 2) == 0
+    a = F.when(even, F.shiftright(n, 1)).otherwise(n)
+    b = F.when(even, n - F.lit(1)).otherwise(F.shiftright(n - F.lit(1), 1))
+    return a.cast("decimal(19,0)") * b.cast("decimal(19,0)")
 
 
 def pairwise_cluster_metrics(
@@ -61,10 +70,14 @@ def pairwise_cluster_metrics(
         .agg(F.sum(_pairs(F.col("nj"))).alias("v"))
     )
     row = (
-        tp.select(F.col("v").alias("tp"))
-        .crossJoin(pred.select(F.col("v").alias("p")))
-        .crossJoin(true.select(F.col("v").alias("t")))
+        tp.select(F.col("v").cast("double").alias("tp"))
+        .crossJoin(pred.select(F.col("v").cast("double").alias("p")))
+        .crossJoin(true.select(F.col("v").cast("double").alias("t")))
     )
+    # counts are decimal-exact; the RATIOS round to double once here —
+    # the same double division the metric always used, so values (and
+    # the 6-dp gate hashes) are unchanged wherever the old sums were
+    # still exact
     prec = F.when(F.col("p") > 0, F.col("tp") / F.col("p")).otherwise(0.0)
     rec = F.when(F.col("t") > 0, F.col("tp") / F.col("t")).otherwise(0.0)
     f1 = F.when(

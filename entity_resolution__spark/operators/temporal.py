@@ -77,6 +77,28 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # round-6 ADVICE: the tiebreak is compared through a long cast — a
+    # string/float column would silently become NULL and degrade the
+    # documented deterministic tie order; reject it loudly instead. The
+    # internal working columns are likewise reserved, not silently
+    # shadowed.
+    if tiebreak is not None:
+        from pyspark.sql import types as T
+
+        dt = right.schema[tiebreak].dataType
+        if not isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise TypeError(
+                f"asof_join: tiebreak column {tiebreak!r} must be an "
+                f"integral type, got {dt.simpleString()}"
+            )
+    reserved = {"_t", "_side", "_tb", "_payload", "_m"}
+    clash = reserved & set(left.columns) | reserved & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: input columns collide with internal names {sorted(clash)}"
+        )
     right_cols = list(right_cols or [c for c in right.columns if c not in on])
     if right_ts not in right_cols:
         right_cols = [right_ts] + right_cols

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -204,7 +205,10 @@ class StageStore(_StageStoreContract):
         data_dir = os.path.join(stage_dir, snap_id)
         os.makedirs(stage_dir, exist_ok=True)
         spark = df.sparkSession
-        table = f"er_stage_{stage}_{self.run_id}".replace("-", "_")
+        # sanitize the SQL identifier (round-6 ADVICE: a stage name with
+        # a dot/space broke DROP TABLE/saveAsTable — only '-' was mapped)
+        safe = re.sub(r"[^A-Za-z0-9_]", "_", f"{stage}_{self.run_id}")
+        table = f"er_stage_{safe}"
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         w = df.write.mode("overwrite").option("path", data_dir).bucketBy(
             n_buckets, *bucket_cols
@@ -213,6 +217,15 @@ class StageStore(_StageStoreContract):
             w = w.sortBy(*sort_cols)
         w.saveAsTable(table)
         out = spark.table(table)
+        # rows from the parquet footers, same as commit() — the old
+        # out.count() re-scanned the snapshot it had just written
+        import pyarrow.parquet as pq
+
+        rows_out = sum(
+            int(pq.ParquetFile(os.path.join(data_dir, fn)).metadata.num_rows)
+            for fn in os.listdir(data_dir)
+            if fn.endswith(".parquet")
+        )
         manifest = {
             "stage": stage,
             "snapshot_id": snap_id,
@@ -227,7 +240,7 @@ class StageStore(_StageStoreContract):
                 "sort_cols": sort_cols or [],
             },
             "metrics": {
-                "rows_out": out.count(),
+                "rows_out": rows_out,
                 "wall_ms": int((time.monotonic() - t0) * 1000),
             },
         }
@@ -237,6 +250,15 @@ class StageStore(_StageStoreContract):
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path(stage))
+        # same snapshot GC as commit(): keep current + most recent other
+        # (round-6 ADVICE: repeated bucketed recommits leaked disk)
+        others = sorted(
+            (d for d in os.listdir(stage_dir)
+             if d.startswith("snap-") and d != snap_id),
+            key=lambda d: os.path.getmtime(os.path.join(stage_dir, d)),
+        )
+        for d in others[:-1]:
+            shutil.rmtree(os.path.join(stage_dir, d), ignore_errors=True)
         return out
 
     def read_bucketed(self, spark: SparkSession, stage: str) -> DataFrame:
