@@ -68,7 +68,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_tokenize_stats(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _ts(spark, sf, "documents", "doc_id")
     toks = _toks(F.col("text"))
     return d.select(
         "doc_id",
@@ -78,7 +78,7 @@ def q_tokenize_stats(spark, sf):
 
 
 def q_block_keys(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = _ts(spark, sf, "documents", "doc_id")
     return (
         d.select(F.try_element_at(_toks(F.col("text")), F.lit(1)).alias("block_key"))
         .filter(F.col("block_key").isNotNull())
@@ -91,9 +91,13 @@ def q_candidate_pairs(spark, sf):
     # materialize the tokenized projection once: both join branches would
     # otherwise re-run the tokenizer off the same scan (round-1 flag)
     d = (
+        # repartition the RAW rows before the tokenizer projection — a
+        # single-row-group scan would otherwise run the regex serially
+        # in its one task (operators/scanspread.py rationale)
         _t(spark, sf, "documents")
-        .select("doc_id", F.try_element_at(_toks(F.col("text")), F.lit(1)).alias("bk"))
+        .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.try_element_at(_toks(F.col("text")), F.lit(1)).alias("bk"))
         .localCheckpoint(eager=True)
     )
     l, r = d.alias("l"), d.alias("r")
@@ -112,13 +116,16 @@ def q_pair_token_jaccard(spark, sf):
     from entity_resolution__spark.functions.normalize import jaccard
 
     d = (
+        # raw rows first, tokenizer after the exchange (same serial-scan
+        # rationale as q_candidate_pairs)
         _t(spark, sf, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select(
             "doc_id",
             F.try_element_at(_toks(F.col("text")), F.lit(1)).alias("bk"),
             F.array_sort(F.array_distinct(_toks(F.col("text")))).alias("ts"),
         )
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .localCheckpoint(eager=True)  # shared child for both join sides
     )
     l = d.select(F.col("doc_id").alias("id_left"), "bk", F.col("ts").alias("ts_l"))
@@ -191,7 +198,7 @@ def q_acronyms(spark, sf):
     coverage with mixed-case fixtures: tests/test_dedup_textstats.py."""
     from entity_resolution__spark.operators.textstats import acronyms_col
 
-    d = _t(spark, sf, "documents").select(F.col("text"))
+    d = _ts(spark, sf, "documents", "doc_id").select(F.col("text"))
     o = _t(spark, sf, "orders").select(F.col("o_orderpriority").alias("text"))
     return (
         d.unionAll(o)
@@ -234,7 +241,7 @@ def q_token_counts(spark, sf):
         token_count,
     )
 
-    d = _t(spark, sf, "documents")
+    d = _ts(spark, sf, "documents", "doc_id")
     return d.select(
         "doc_id",
         token_count(F.col("text")).cast("long").alias("ws_tokens"),
@@ -245,7 +252,7 @@ def q_token_counts(spark, sf):
 def q_doc_fingerprint(spark, sf):
     from entity_resolution__spark.operators.textstats import fingerprint_col
 
-    return _t(spark, sf, "documents").select(
+    return _ts(spark, sf, "documents", "doc_id").select(
         "doc_id", fingerprint_col(F.col("text")).alias("fp")
     )
 
@@ -702,7 +709,7 @@ def q_chunk_documents(spark, sf):
     from entity_resolution__spark.operators.packing import chunk_documents
 
     return chunk_documents(
-        _t(spark, sf, "documents"), chunk_tokens=32, overlap=8
+        _ts(spark, sf, "documents", "doc_id"), chunk_tokens=32, overlap=8
     )
 
 
@@ -842,7 +849,7 @@ def q_pii_scrub(spark, sf):
     phone pattern would otherwise eat dotted IPs)."""
     from entity_resolution__spark.operators.scrub import pii_scrub
 
-    return pii_scrub(_t(spark, sf, "documents").select("doc_id", "text"))
+    return pii_scrub(_ts(spark, sf, "documents", "doc_id").select("doc_id", "text"))
 
 
 def q_hash_sample(spark, sf):
@@ -864,7 +871,7 @@ def q_ngram_stats(spark, sf):
     (ties broken textually)."""
     from entity_resolution__spark.operators.scrub import ngram_stats
 
-    return ngram_stats(_t(spark, sf, "documents"), n=2, k=40)
+    return ngram_stats(_ts(spark, sf, "documents", "doc_id"), n=2, k=40)
 
 
 def q_repetition_stats(spark, sf):
@@ -874,7 +881,7 @@ def q_repetition_stats(spark, sf):
     doc agg; token stats fused into the scan."""
     from entity_resolution__spark.operators.scrub import repetition_stats
 
-    return repetition_stats(_t(spark, sf, "documents"), n=2)
+    return repetition_stats(_ts(spark, sf, "documents", "doc_id"), n=2)
 
 
 def q_quality_gate(spark, sf):
