@@ -1249,7 +1249,10 @@ def q_table_profile(spark, sf):
     specific; exact counts hash-match any engine)."""
     from entity_resolution__spark.operators.profile import profile_table
 
-    return profile_table(_t(spark, sf, "orders"))
+    # spread: the expanded multi-distinct aggregate multiplies every row
+    # by 2k+1 branches inside the scan stage — serial on a single-row-
+    # group file without the exchange
+    return profile_table(_ts(spark, sf, "orders", "o_orderkey"))
 
 
 def q_exact_jaccard_pairs(spark, sf):

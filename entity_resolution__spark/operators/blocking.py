@@ -298,21 +298,46 @@ def make_minhash_udf(num_perm: int = 32, qgram: int = 4, seed: int = 7):
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def minhash_sig(texts: pd.Series) -> pd.Series:
-        out = []
+        # pd.util.hash_array: deterministic 64-bit hashing (fixed-key
+        # siphash), vectorized — immune to PYTHONHASHSEED randomization.
+        # Hashing is BATCHED across rows (one call per ~200k shingles):
+        # the per-call pandas dtype-dispatch overhead was ~half the
+        # kernel's CPU when called once per row; per-element hashes are
+        # independent, so the values are identical. No sort of the
+        # shingle set either — the signature is a per-permutation MIN,
+        # order-independent.
+        rows: list[list[str]] = []
         for t in texts.fillna(""):
             if len(t) < qgram:
-                shingles = {t} if t else {""}
+                rows.append([t] if t else [""])
             else:
-                shingles = {t[i : i + qgram] for i in range(len(t) - qgram + 1)}
-            # pd.util.hash_array: deterministic 64-bit hashing (fixed-key
-            # siphash), vectorized — immune to PYTHONHASHSEED randomization.
-            # No sort: the signature is a per-permutation MIN, which is
-            # order-independent, and the O(S log S) python string sort per
-            # row was a measurable share of the blocks stage.
-            hv = pd.util.hash_array(np.array(list(shingles), dtype=object))
-            # sig[j] = min_i (a[j]*h[i] + b[j] mod p): (P, n) broadcast in numpy
+                rows.append(
+                    list({t[i : i + qgram] for i in range(len(t) - qgram + 1)})
+                )
+        n = len(rows)
+        out: list = [None] * n
+        i = 0
+        while i < n:
+            j, total = i, 0
+            while j < n and (total == 0 or total + len(rows[j]) <= 200_000):
+                total += len(rows[j])
+                j += 1
+            lens = [len(r) for r in rows[i:j]]
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for r in rows[i:j]:
+                flat[pos : pos + len(r)] = r
+                pos += len(r)
+            hv = pd.util.hash_array(flat)
+            # sig[p] = min_i (a[p]*h[i] + b[p] mod m): (P, total) broadcast,
+            # then one segmented min per row
             prod = (hv[None, :] * a[:, None] + b[:, None]) % _MERSENNE
-            out.append(prod.min(axis=1).astype(np.int64))
+            offs = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            mins = np.minimum.reduceat(prod, offs, axis=1)
+            for k in range(j - i):
+                out[i + k] = mins[:, k].astype(np.int64)
+            i = j
         return pd.Series(out)
 
     return minhash_sig
