@@ -220,22 +220,43 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     oriented = ranked.select(
         F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("b"),
+        # the head endpoint's (deg, id) ORDER KEY rides along so wedges
+        # can be emitted already-ordered (below) instead of both ways
+        F.when(ku < kv, kv).otherwise(ku).alias("_kb"),
     ).localCheckpoint(eager=True)
 
-    # wedges rooted at a: two out-neighbors b ≺ c in the SAME total
-    # order — recover it from the oriented edge set itself (b before c
-    # iff the edge b→c could exist), i.e. emit both (b, c) and (c, b)
-    # and let the closing semi-join keep the one that is an edge
-    e1 = oriented.select(F.col("a"), F.col("b").alias("x"))
-    e2 = oriented.select(F.col("a"), F.col("b").alias("y"))
-    wedges = e1.join(e2, "a").filter(F.col("x") != F.col("y"))
+    # wedges rooted at a: two out-neighbors x ≺ y in the SAME total
+    # (deg, id) order the orientation used — compare the carried order
+    # keys directly, so each wedge is emitted ONCE with the edge-
+    # compatible orientation. (The previous form emitted both (x,y) and
+    # (y,x) and let the closing semi-join discard half: on the
+    # clique-ish ER block graph that doubled the heaviest intermediate
+    # — 46.5M vs 23.3M wedge rows at sf0.1.)
+    e1 = oriented.select("a", F.col("b").alias("x"), F.col("_kb").alias("_kx"))
+    e2 = oriented.select("a", F.col("b").alias("y"), F.col("_kb").alias("_ky"))
+    wedges = (
+        e1.join(e2, "a")
+        .filter(F.col("_kx") < F.col("_ky"))
+        .select("a", "x", "y")
+    )
     closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    # size-adaptive closing join (the broadcast-threshold idiom): the
+    # edge set is materialized, so its row count is one cheap job; a
+    # dimension-sized edge list broadcasts and the wedge table — the
+    # |E|·avg-outdeg heavy side — is never shuffled at all. Above the
+    # threshold the semi-join stays a shuffle join (AQE-splittable).
+    if oriented.count() <= 5_000_000:
+        closing = F.broadcast(closing)
     tris = wedges.join(closing, ["x", "y"], "left_semi")
 
+    # one explode, not a 3-way union of selects over `tris`: each union
+    # branch re-executes the whole wedge+closing pipeline (no subplan
+    # reuse without an exchange boundary), tripling the heaviest stage;
+    # the explode emits the same (a, x, y) multiset in a single pass
     per_node = (
-        tris.select(F.col("a").alias("node"))
-        .unionByName(tris.select(F.col("x").alias("node")))
-        .unionByName(tris.select(F.col("y").alias("node")))
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("x"), F.col("y"))).alias("node")
+        )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
