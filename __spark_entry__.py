@@ -1238,7 +1238,7 @@ def q_unigram_logprob(spark, sf):
     1-row aggregate."""
     from entity_resolution__spark.operators.textstats import unigram_logprob
 
-    return unigram_logprob(_t(spark, sf, "documents"))
+    return unigram_logprob(_ts(spark, sf, "documents", "doc_id"))
 
 
 def q_table_profile(spark, sf):
@@ -1280,7 +1280,7 @@ def q_bm25_topk(spark, sf):
     selected set is engine-stable; ties break on doc_id."""
     from entity_resolution__spark.operators.textstats import bm25_rank
 
-    return bm25_rank(_t(spark, sf, "documents"), "spark window merge join", k=15)
+    return bm25_rank(_ts(spark, sf, "documents", "doc_id"), "spark window merge join", k=15)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -260,29 +260,37 @@ def unigram_logprob(
     toks = df.select(
         F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("l")
     )
-    total = float(
-        toks.agg(F.sum(F.size("l"))).collect()[0][0] or 0.0
-    )
     tf = (
         toks.select("id", F.explode("l").alias("tok"))
         .groupBy("id", "tok")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
     cc = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    # T rides as a broadcast 1-row column instead of a driver collect:
+    # the old mid-plan collect forced a second full tokenization pass
+    # (and the toks-based n_tokens branch below a third) — the tf
+    # shuffle is now computed once and REUSED by the cc/total branches.
+    # Σ_t c(t) over the count table equals Σ_d |d| exactly (integral
+    # doubles), so log(c/T) is bit-identical to the literal form.
+    tot = cc.agg(F.sum("c").alias("_T"))
     per = (
         tf.join(cc, "tok")
+        .crossJoin(F.broadcast(tot))
         .groupBy("id")
         .agg(
-            F.sum(F.col("tf") * F.log(F.col("c") / F.lit(total))).alias("lp"),
+            F.sum(F.col("tf") * F.log(F.col("c") / F.col("_T"))).alias("lp"),
             F.sum("tf").alias("n"),
         )
     )
+    # n_tokens = Σ tf per doc — already in `per`; docs absent from `per`
+    # are exactly the zero-token docs (coalesce to 0/0.0), so the old
+    # size(l) branch (a third tokenization) is redundant
     return (
-        toks.select("id", F.size("l").cast("long").alias("n_tokens"))
+        df.select(F.col(id_col).alias("id"))
         .join(per, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            "n_tokens",
+            F.coalesce(F.col("n"), F.lit(0.0)).cast("long").alias("n_tokens"),
             F.round(
                 F.coalesce(-F.col("lp") / F.col("n"), F.lit(0.0)), 6
             ).alias("nll6"),
