@@ -318,6 +318,7 @@ def k_core(
             .distinct()
             .localCheckpoint(eager=True)
         )
+    bcast_ok: bool | None = None
     for _it in range(1, max_iter + 1):
         deg = (
             cur.select(F.col("u").alias("node"))
@@ -326,13 +327,25 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("degree"))
             .localCheckpoint(eager=True)
         )
+        if bcast_ok is None:
+            # size-adaptive survivor joins (same idiom as the triangle
+            # closing join): a dimension-sized node set broadcasts into
+            # both semi-joins so the EDGE table never shuffles during
+            # the peel; decided once on the first round's node count
+            # (the graph only shrinks). Above the threshold the joins
+            # stay shuffle joins.
+            bcast_ok = deg.count() <= 5_000_000
         bad = deg.filter(F.col("degree") < k)
         if bad.isEmpty():
             return deg
         keep = deg.filter(F.col("degree") >= k).select("node")
+        ku = keep.withColumnRenamed("node", "u")
+        kv = keep.withColumnRenamed("node", "v")
+        if bcast_ok:
+            ku, kv = F.broadcast(ku), F.broadcast(kv)
         cur = (
-            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            cur.join(ku, "u", "left_semi")
+            .join(kv, "v", "left_semi")
             .localCheckpoint(eager=True)
         )
         if on_iteration is not None:

@@ -420,26 +420,38 @@ def kmeans_assign_literal(
     exchange: the assignment stage is map-only, which is the whole
     point at 100 TB). Ties break to the lowest centroid id via struct
     array_min ordering. Adds (cluster, dist) columns."""
-    carr = [
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
-    ]
-    dists = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col), cj, lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(j).alias("c"),
-            )
-            for j, cj in enumerate(carr)
-        ]
+    # centroids ride as a broadcast 1-row array<array<double>> column,
+    # not per-value literals: the literal form generated DIFFERENT
+    # codegen source every Lloyd iteration (values are baked into the
+    # code), paying a fresh janino compile per assignment pass; with a
+    # column reference the generated code is identical across
+    # iterations and the compile is paid once. The per-element float
+    # ops (zip_with squared-diffs, index-order aggregate, struct
+    # array_min with centroid-id tiebreak) are unchanged, so values are
+    # bit-identical. Still map-side: the broadcast is one row.
+    spark = vecs.sparkSession
+    cents_df = spark.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        "_cents array<array<double>>",
+    )
+    dists = F.transform(
+        F.col("_cents"),
+        lambda cj, j: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), cj, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            j.cast("int").alias("c"),
+        ),
     )
     best = F.array_min(dists)
-    return vecs.withColumn("cluster", best["c"]).withColumn("dist", best["d"])
+    return (
+        vecs.crossJoin(F.broadcast(cents_df))
+        .withColumn("cluster", best["c"])
+        .withColumn("dist", best["d"])
+        .drop("_cents")
+    )
 
 
 def kmeans(
