@@ -99,12 +99,17 @@ class CCResult:
     fingerprints: list[tuple[int, int]] = field(default_factory=list)
 
 
-def _local_dsu_components(edges: DataFrame) -> DataFrame:
+def _local_dsu_components(edges: DataFrame, _edges_pdf=None) -> DataFrame:
     """Driver-side union-find for SMALL edge sets (same output contract
     as the distributed loop: root = min member). Iterative find with
     path halving; min-root maintained by always attaching the larger id
     under the smaller — independently structured from the reference's
-    recursive rank-union DSU (apply_transitivity.py:21-45)."""
+    recursive rank-union DSU (apply_transitivity.py:21-45).
+
+    `_edges_pdf`: the caller may pass the already-fetched pandas edge
+    frame (connected_components' size probe now IS the fetch) so the
+    transfer is not paid twice; `edges` still supplies schema/session.
+    """
     parent: dict = {}
 
     def find(x):
@@ -126,7 +131,9 @@ def _local_dsu_components(edges: DataFrame) -> DataFrame:
     # 2^53) where the old Row path surfaced None. A null endpoint is a
     # malformed edge on either path — excluding it matches the
     # distributed loop, whose u>v / u!=v comparisons drop nulls too.
-    pdf = edges.select("src", "dst").na.drop(subset=["src", "dst"]).toPandas()
+    pdf = _edges_pdf
+    if pdf is None:
+        pdf = edges.select("src", "dst").na.drop(subset=["src", "dst"]).toPandas()
     import pandas.api.types as _pt
     from pyspark.sql import types as T
 
@@ -273,9 +280,18 @@ def connected_components(
     # feature UDF stage) read it more than once.
     edges = edges.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
     if on_iteration is None and local_threshold > 0:
-        n_edges = edges.limit(local_threshold + 1).count()
-        if n_edges <= local_threshold:
-            assign = _local_dsu_components(edges)
+        # the size probe IS the fetch: one bounded Arrow transfer
+        # (limit caps driver bytes exactly like the old count probe
+        # capped the decision) replaces the separate count job + full
+        # toPandas — one job fewer per CC call on the fast path
+        probe_pdf = (
+            edges.select("src", "dst")
+            .na.drop(subset=["src", "dst"])
+            .limit(local_threshold + 1)
+            .toPandas()
+        )
+        if len(probe_pdf) <= local_threshold:
+            assign = _local_dsu_components(edges, _edges_pdf=probe_pdf)
             return CCResult(assignments=assign, iterations=0, fingerprints=[])
     if local_forest:
         # two-level path: collapse each partition to its spanning stars
