@@ -306,38 +306,45 @@ def make_minhash_udf(num_perm: int = 32, qgram: int = 4, seed: int = 7):
         # independent, so the values are identical. No sort of the
         # shingle set either — the signature is a per-permutation MIN,
         # order-independent.
-        rows: list[list[str]] = []
-        for t in texts.fillna(""):
-            if len(t) < qgram:
-                rows.append([t] if t else [""])
-            else:
-                rows.append(
-                    list({t[i : i + qgram] for i in range(len(t) - qgram + 1)})
-                )
-        n = len(rows)
-        out: list = [None] * n
-        i = 0
-        while i < n:
-            j, total = i, 0
-            while j < n and (total == 0 or total + len(rows[j]) <= 200_000):
-                total += len(rows[j])
-                j += 1
-            lens = [len(r) for r in rows[i:j]]
-            flat = np.empty(total, dtype=object)
+        out: list = []
+        buf: list[list[str]] = []
+        buf_total = 0
+
+        def flush() -> None:
+            nonlocal buf, buf_total
+            if not buf:
+                return
+            lens = [len(r) for r in buf]
+            flat = np.empty(buf_total, dtype=object)
             pos = 0
-            for r in rows[i:j]:
+            for r in buf:
                 flat[pos : pos + len(r)] = r
                 pos += len(r)
             hv = pd.util.hash_array(flat)
-            # sig[p] = min_i (a[p]*h[i] + b[p] mod m): (P, total) broadcast,
-            # then one segmented min per row
+            # sig[p] = min_i (a[p]*h[i] + b[p] mod m): (P, total)
+            # broadcast, then one segmented min per row
             prod = (hv[None, :] * a[:, None] + b[:, None]) % _MERSENNE
             offs = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=offs[1:])
             mins = np.minimum.reduceat(prod, offs, axis=1)
-            for k in range(j - i):
-                out[i + k] = mins[:, k].astype(np.int64)
-            i = j
+            for k in range(len(buf)):
+                out.append(mins[:, k].astype(np.int64))
+            buf = []
+            buf_total = 0
+
+        # incremental flush: only ONE chunk's shingle lists are ever
+        # live (a whole 10k-row Arrow batch of ~350-shingle docs held
+        # ~3.5M python strings per worker before hashing)
+        for t in texts.fillna(""):
+            if len(t) < qgram:
+                r = [t] if t else [""]
+            else:
+                r = list({t[i : i + qgram] for i in range(len(t) - qgram + 1)})
+            buf.append(r)
+            buf_total += len(r)
+            if buf_total >= 200_000:
+                flush()
+        flush()
         return pd.Series(out)
 
     return minhash_sig
