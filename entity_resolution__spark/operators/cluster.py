@@ -53,12 +53,18 @@ def _large_star(e: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("u")
+    # no trailing distinct: duplicates cannot change _small_star's
+    # per-u window MIN, and its own terminal distinct collapses them —
+    # dropping it removes one full Exchange per star round (the round
+    # was 4 exchanges; duplicate inflation between the two stars is
+    # bounded at 2x). Results are identical edge SETS, so the
+    # convergence fingerprints (computed after _small_star's distinct)
+    # are unchanged.
     return (
         e.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
